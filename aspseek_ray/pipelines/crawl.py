@@ -1,0 +1,289 @@
+"""The flagship crawl pipeline (SURVEY.md §3.1 rebuild): a driver round
+loop where each frontier generation is one bounded Ray Data pipeline
+
+    pop (CrawlShard actors, politeness heaps)            — O16/T1/T2/T3
+      -> stamp dense fetch_seq (host-lex, pop order)     — trace contract
+      -> bucketed fetch join vs pre-bucketed pages       — O19 ("fetch" S3)
+      -> parse html, extract + canonicalize outlinks     — O6/O1
+      -> offer candidates back to shards                 — O20/O22 dedup
+      -> trace + metrics + per-shard checkpoint          — S6/S9, §4.3
+
+Durable state between rounds is ONLY the shard actors (checkpointed to
+Parquet per round); the Ray object store is never relied on across runs.
+
+Scale notes (SURVEY §4): the per-round scheduled set (<= budget x active
+hosts) passes through the driver for dense fetch_seq stamping — O(round
+size), not O(frontier). At 10^8+ active hosts replace the driver lexsort
+with a distributed prefix-sum over per-host counts; every other stage is
+already a data-parallel map_batches or sharded-actor call. The pages table
+(the 100-TB side) is shuffled exactly once at ingest (bucket_pages) and
+never moves again.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from aspseek_ray.config import CrawlConfig
+from aspseek_ray.functions.hashing import fnv1a64_arrow
+from aspseek_ray.functions.url import host_of
+from aspseek_ray.sources.pages import BucketLookup, bucket_pages
+from aspseek_ray.stages.discover import parse_discover
+from aspseek_ray.state.shard import CrawlShard
+
+TRACE_COLS = ["fetch_seq", "round", "url", "host", "depth", "discovery_seq", "status"]
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    rounds: int
+    total_fetched: int
+    metrics: list[dict] = field(default_factory=list)
+
+    def trace_table(self) -> pa.Table:
+        t = pq.read_table(str(Path(self.out_dir) / "trace"))
+        return t.sort_by("fetch_seq")
+
+    def seen_path(self) -> str:
+        return str(Path(self.out_dir) / "seen")
+
+
+def _shard_of(host_hash: np.ndarray, S: int) -> np.ndarray:
+    return np.abs(np.asarray(host_hash, dtype=np.int64)) % S
+
+
+class Crawler:
+    """Owns the shard actor pool and the round loop. Construct fresh
+    (``seed=True``) or from the latest checkpoint (``resume=True``)."""
+
+    def __init__(self, corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
+                 *, resume: bool = False, scratch_dir: str | None = None):
+        self.cfg = cfg or CrawlConfig()
+        self.corpus_dir = corpus_dir
+        self.out = Path(out_dir)
+        self.out.mkdir(parents=True, exist_ok=True)
+        (self.out / "trace").mkdir(exist_ok=True)
+        (self.out / "checkpoints").mkdir(exist_ok=True)
+
+        scratch = Path(scratch_dir or (self.out / "pages_bucketed"))
+        self.bucket_dir = bucket_pages(f"{corpus_dir}/pages.parquet", str(scratch),
+                                       num_buckets=self.cfg.num_page_buckets)
+
+        robots = pq.read_table(f"{corpus_dir}/robots.parquet")
+        host_hashes = fnv1a64_arrow(robots["host"])
+        shard_ids = _shard_of(host_hashes, self.cfg.num_shards)
+        cfg_json = json.dumps({
+            "per_host_per_round": self.cfg.per_host_per_round,
+            "max_hops": self.cfg.max_hops,
+            "max_rounds": self.cfg.max_rounds,
+            "round_time_budget_ms": self.cfg.round_time_budget_ms,
+            "max_docs": self.cfg.max_docs,
+            "num_shards": self.cfg.num_shards,
+            "num_page_buckets": self.cfg.num_page_buckets,
+            "disallow_patterns": list(self.cfg.disallow_patterns),
+            "checkpoint_every": self.cfg.checkpoint_every,
+        })
+        ShardActor = ray.remote(CrawlShard)
+        self.shards = [
+            ShardActor.remote(s, cfg_json,
+                              robots.filter(pa.array(shard_ids == s)))
+            for s in range(self.cfg.num_shards)
+        ]
+        self.round = 0
+        self.fetch_base = 0
+        self.metrics: list[dict] = []
+
+        if resume:
+            self._restore_latest()
+        else:
+            self._offer_seeds()
+
+    # ------------------------------------------------------------------ setup
+    def _offer_seeds(self) -> None:
+        seeds = pq.read_table(f"{self.corpus_dir}/seeds.parquet")
+        urls = seeds["url"]
+        hosts = pa.array([host_of(u) for u in urls.to_pylist()], type=pa.string())
+        cand = pa.table({
+            "url": urls,
+            "url_hash": pa.array(fnv1a64_arrow(urls)),
+            "host": hosts,
+            "host_hash": pa.array(fnv1a64_arrow(hosts)),
+            "depth": seeds["depth"],
+            "discovery_seq": seeds["discovery_seq"],
+        })
+        sh = _shard_of(np.asarray(cand["host_hash"], dtype=np.int64), self.cfg.num_shards)
+        ray.get([self.shards[int(s)].offer.remote(cand.filter(pa.array(sh == s)))
+                 for s in np.unique(sh)])
+
+    def _restore_latest(self) -> None:
+        manifest = self.out / "checkpoints" / "LATEST.json"
+        if not manifest.exists():
+            raise FileNotFoundError(f"no checkpoint manifest under {manifest}")
+        m = json.loads(manifest.read_text())
+        ckpt = str(self.out / "checkpoints" / f"round={m['round']}")
+        ray.get([s.restore.remote(ckpt) for s in self.shards])
+        self.round = m["round"] + 1
+        self.fetch_base = m["fetch_base"]
+        self.metrics = m.get("metrics", [])
+
+    # ------------------------------------------------------------------ round
+    def _pop_and_stamp(self) -> pa.Table | None:
+        pops = ray.get([s.pop_round.remote() for s in self.shards])
+        sched = pa.concat_tables([t for t in pops if t.num_rows] or pops[:1])
+        if sched.num_rows == 0:
+            return None
+        # dense fetch_seq: (host lexicographic, heap-pop order) — FIXTURES §4.1
+        order = np.lexsort((np.asarray(sched["pop_idx"]),
+                            np.array(sched["host"].to_pylist())))
+        sched = sched.take(pa.array(order))
+        if self.cfg.max_docs:
+            remaining = self.cfg.max_docs - self.fetch_base
+            if remaining <= 0:
+                return None
+            if sched.num_rows > remaining:
+                overflow = sched.slice(remaining)
+                sh = _shard_of(fnv1a64_arrow(overflow["host"]), self.cfg.num_shards)
+                ray.get([self.shards[int(s)].push_back.remote(
+                            overflow.filter(pa.array(sh == s)))
+                         for s in np.unique(sh)])
+                sched = sched.slice(0, remaining)
+        n = sched.num_rows
+        sched = sched.append_column(
+            "fetch_seq", pa.array(self.fetch_base + np.arange(n, dtype=np.int64)))
+        sched = sched.append_column("url_hash", pa.array(fnv1a64_arrow(sched["url"])))
+        bucket = np.abs(np.asarray(sched["url_hash"], dtype=np.int64)) % self.cfg.num_page_buckets
+        return sched.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    def run_round(self) -> dict | None:
+        t0 = time.monotonic()
+        sched = self._pop_and_stamp()
+        if sched is None:
+            return None
+        rnd = self.round
+        n_sched = sched.num_rows
+
+        # one block per pages-bucket -> the fetch join never shuffles
+        by_bucket = [sched.filter(pa.array(np.asarray(sched["bucket"]) == b))
+                     for b in np.unique(np.asarray(sched["bucket"]))]
+        ds = rd.from_arrow(by_bucket)
+        fetched = ds.map_batches(BucketLookup(self.bucket_dir),
+                                 batch_format="pyarrow", batch_size=None,
+                                 zero_copy_batch=True).materialize()
+
+        # trace (small: round-size rows, html excluded)
+        trace_parts = ray.get(
+            fetched.select_columns(
+                ["fetch_seq", "url", "host", "depth", "discovery_seq", "status"]
+            ).to_arrow_refs())
+        trace = pa.concat_tables([t for t in trace_parts if t.num_rows])
+        trace = trace.append_column(
+            "round", pa.array(np.full(trace.num_rows, rnd, dtype=np.int32)))
+        trace = trace.select(TRACE_COLS).sort_by("fetch_seq")
+        tmp = self.out / "trace" / f".round={rnd}.parquet.tmp"
+        pq.write_table(trace, tmp)
+        tmp.rename(self.out / "trace" / f"round={rnd}.parquet")
+
+        # discover + offer
+        max_hops = self.cfg.max_hops
+        shards = self.shards
+        S = self.cfg.num_shards
+
+        def offer_fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"n_candidates": pa.array([0], pa.int64()),
+                                 "n_new": pa.array([0], pa.int64())})
+            sh = _shard_of(np.asarray(batch["host_hash"], dtype=np.int64), S)
+            refs = [shards[int(s)].offer.remote(batch.filter(pa.array(sh == s)))
+                    for s in np.unique(sh)]
+            n_new = int(sum(ray.get(refs)))
+            return pa.table({"n_candidates": pa.array([batch.num_rows], pa.int64()),
+                             "n_new": pa.array([int(n_new)], pa.int64())})
+
+        counts = (fetched
+                  .map_batches(lambda b: parse_discover(b, max_hops),
+                               batch_format="pyarrow", batch_size=None,
+                               zero_copy_batch=True)
+                  .map_batches(offer_fn, batch_format="pyarrow")
+                  .take_all())
+        n_cand = int(sum(r["n_candidates"] for r in counts))
+        n_new = int(sum(r["n_new"] for r in counts))
+
+        statuses = np.asarray(trace["status"])
+        m = {
+            "round": rnd,
+            "scheduled": n_sched,
+            "fetched_200": int((statuses == 200).sum()),
+            "fetched_404": int((statuses == 404).sum()),
+            "candidates": n_cand,
+            "newly_discovered": n_new,
+            "fetch_base": self.fetch_base,
+            "wall_sec": round(time.monotonic() - t0, 4),
+        }
+        self.fetch_base += n_sched
+        self.metrics.append(m)
+
+        if self.cfg.checkpoint_every and (rnd + 1) % self.cfg.checkpoint_every == 0:
+            self.checkpoint(rnd)
+        self.round = rnd + 1
+        return m
+
+    # ------------------------------------------------------------ checkpoint
+    def checkpoint(self, rnd: int) -> None:
+        """Per-partition (shard) snapshot + lineage manifest (north_rule:
+        'checkpointed per-partition (frontier snapshot + cuckoo-filter state
+        + lineage metrics)'). Atomic: shard files then LATEST.json rename."""
+        ckpt = self.out / "checkpoints" / f"round={rnd}"
+        shard_stats = ray.get([s.snapshot.remote(str(ckpt)) for s in self.shards])
+        manifest = {
+            "round": rnd,
+            "fetch_base": self.fetch_base,
+            "shards": shard_stats,
+            "metrics": self.metrics,
+            "corpus_dir": str(self.corpus_dir),
+        }
+        tmp = self.out / "checkpoints" / ".LATEST.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.rename(self.out / "checkpoints" / "LATEST.json")
+
+    # -------------------------------------------------------------------- run
+    def run(self) -> CrawlResult:
+        while self.round < self.cfg.max_rounds:
+            m = self.run_round()
+            if m is None:
+                break
+        # final artifacts: seen set + metrics
+        seen_dir = self.out / "seen"
+        seen_dir.mkdir(exist_ok=True)
+        tables = ray.get([s.seen_table.remote() for s in self.shards])
+        for i, t in enumerate(tables):
+            pq.write_table(t, seen_dir / f"shard={i}.parquet")
+        (self.out / "metrics.json").write_text(json.dumps(self.metrics, indent=2))
+        return CrawlResult(str(self.out), self.round, self.fetch_base, self.metrics)
+
+    def seen_table(self) -> pa.Table:
+        tables = ray.get([s.seen_table.remote() for s in self.shards])
+        return pa.concat_tables(tables).sort_by("url")
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
+              *, resume: bool = False) -> CrawlResult:
+    c = Crawler(corpus_dir, out_dir, cfg, resume=resume)
+    try:
+        return c.run()
+    finally:
+        c.shutdown()

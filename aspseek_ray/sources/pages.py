@@ -1,0 +1,82 @@
+"""Pages corpus ingest + pre-bucketing (SURVEY.md O19 prep; reference:
+the network GET of src/http.cpp — offline, "fetch" is a partitioned hash
+lookup into the Common-Crawl-style pages table).
+
+``bucket_pages`` shuffles the pages table ONCE by ``url_hash % B`` into a
+hive-partitioned Parquet layout ``<out>/bucket=K/``. Every crawl round then
+joins its (small) scheduled frontier against only the buckets it needs —
+broadcast-small-side in reverse (SURVEY §2.4 O19): the 100-TB pages side
+never moves again.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from aspseek_ray.functions.hashing import fnv1a64_arrow
+
+
+def add_url_hash(batch: pa.Table, col: str = "url", out: str = "url_hash") -> pa.Table:
+    return batch.append_column(out, pa.array(fnv1a64_arrow(batch[col])))
+
+
+def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
+                 columns: list[str] | None = None) -> str:
+    """One-time shuffle of pages by url_hash % num_buckets into
+    ``out_dir/bucket=K/``. Idempotent: skips when a matching manifest exists."""
+    out = Path(out_dir)
+    manifest = out / "_bucket_manifest.json"
+    if manifest.exists():
+        m = json.loads(manifest.read_text())
+        if m.get("num_buckets") == num_buckets and m.get("source") == str(pages_path):
+            return str(out)
+
+    ds = rd.read_parquet(pages_path, columns=columns or ["url", "html"])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        b = add_url_hash(batch)
+        bucket = np.abs(np.asarray(b["url_hash"], dtype=np.int64)) % num_buckets
+        return b.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    (ds.map_batches(stamp, batch_format="pyarrow")
+       .write_parquet(str(out), partition_cols=["bucket"]))
+    manifest.write_text(json.dumps({"num_buckets": num_buckets,
+                                    "source": str(pages_path)}))
+    return str(out)
+
+
+class BucketLookup:
+    """Per-task lookup into one pages bucket: given a batch of scheduled
+    urls ALL IN THE SAME BUCKET, return the batch joined with (html,) and a
+    status column (200 hit / 404 miss). Reads only that bucket's files with
+    an ``isin`` pushdown filter."""
+
+    def __init__(self, bucket_dir: str):
+        self.bucket_dir = bucket_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        bucket = int(batch["bucket"][0].as_py())
+        path = Path(self.bucket_dir) / f"bucket={bucket}"
+        urls = batch["url"]
+        if path.exists():
+            dset = pads.dataset(str(path), format="parquet")
+            hit = dset.to_table(columns=["url", "html"],
+                                filter=pc.field("url").isin(urls))
+        else:
+            hit = pa.table({"url": pa.array([], type=pa.string()),
+                            "html": pa.array([], type=pa.binary())})
+        # left join scheduled -> pages (vectorized index_in)
+        idx = pc.index_in(urls, value_set=hit["url"])
+        status = pc.if_else(pc.is_valid(idx), pa.scalar(200, pa.int32()),
+                            pa.scalar(404, pa.int32()))
+        html = pc.take(hit["html"], idx)  # null where missing
+        out = batch.append_column("status", status.cast(pa.int32()))
+        return out.append_column("html", html)

@@ -1,0 +1,241 @@
+"""Frontier + URL-seen shard actor (SURVEY.md T1 + O16 + T3; reference:
+MySQL `url` table unique-key seen-set + in-memory href hash in
+src/hrefs.cpp, per-server politeness bookkeeping in src/index.cpp,
+robots cache).
+
+One ``CrawlShard`` owns every host with ``host_hash % num_shards == shard_id``
+— so a host's politeness heap, its robots rules and the seen-entries of all
+its URLs are co-located on exactly one actor (url -> host is a function, so
+seen-by-url and frontier-by-host shard identically). The pool of S shards IS
+the explicit partitioning of the mutable crawl state (north_rule: 10^10-URL
+frontier = many shards across nodes; hot-host skew is bounded by the
+per-round budget; a backlogged host costs heap memory only — at 10^10-URL
+scale raise num_shards so each shard's backlog fits its node, and spill
+cold heap tails to the per-shard frontier parquet if needed).
+
+Determinism contract (matches tests/ref_sim.py exactly):
+  * offers for round K+1 arrive between ``pop_round`` K and K+1 and are
+    STAGED: per url the offer with the smallest discovery_seq wins,
+    regardless of arrival order (Ray tasks deliver batches in any order);
+  * ``pop_round`` flushes staging into per-host heaps, then pops up to the
+    host's effective budget (crawl-delay aware) in (depth, discovery_seq)
+    order;
+  * the seen-check rejects urls seen in PREVIOUS rounds; same-round
+    duplicates are resolved by the staging min-rule.
+
+Fast path: a cuckoo filter over url_hash answers "definitely new" without
+touching the exact set; on "maybe seen" the exact url set decides (EXACT
+answers always — false positives never drop URLs).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import re
+from pathlib import Path
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from aspseek_ray.config import CrawlConfig
+from aspseek_ray.state.cuckoo import CuckooFilter
+
+class CrawlShard:
+    """Instantiate as ray.remote(CrawlShard).remote(...) — plain class here
+    so unit tests can drive it without a cluster."""
+
+    def __init__(self, shard_id: int, cfg_json: str,
+                 robots_rows: pa.Table | None = None,
+                 cuckoo_capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        cfg_raw = json.loads(cfg_json)
+        cfg_raw["disallow_patterns"] = tuple(cfg_raw.get("disallow_patterns", ()))
+        self.cfg = CrawlConfig(**cfg_raw)
+        self.filters = [re.compile(p) for p in self.cfg.disallow_patterns]
+        # robots: host -> (tuple rules, delay_ms); only rows for my hosts are
+        # passed in (pre-partitioned), loaded once per actor (T3).
+        self.robots: dict[str, tuple[tuple[str, ...], int]] = {}
+        if robots_rows is not None:
+            for h, r, d in zip(robots_rows["host"].to_pylist(),
+                               robots_rows["rules"].to_pylist(),
+                               robots_rows["crawl_delay_ms"].to_pylist()):
+                self.robots[h] = (tuple(r or ()), int(d or 0))
+        self.seen: set[str] = set()            # exact truth (urls of my hosts)
+        self.cuckoo = CuckooFilter(cuckoo_capacity, seed=shard_id)
+        # url -> (depth, seq, host, url_hash); url_hash is the caller-provided
+        # hash (fnv1a64 everywhere) so cuckoo insert/check stay consistent.
+        self.staged: dict[str, tuple[int, int, str, int]] = {}
+        self.heaps: dict[str, list] = {}       # host -> [(depth, seq, url)]
+        self.n_offered = 0
+        self.n_rejected_seen = 0
+        self.n_rejected_filtered = 0
+
+    # ------------------------------------------------------------------ offer
+    def offer(self, batch: pa.Table) -> int:
+        """Stage candidate urls (columns url, url_hash, host, depth,
+        discovery_seq). Returns number of urls newly staged (not previously
+        seen). Arrival-order independent.
+
+        CONTRACT: url_hash MUST be fnv1a64(url) — the engine-wide pinned
+        hash (snapshot/restore rebuilds the cuckoo from recomputed fnv
+        hashes, so a caller using a different hash would defeat the fast
+        path after resume)."""
+        urls = batch["url"].to_pylist()
+        hashes = np.asarray(batch["url_hash"], dtype=np.int64)
+        hosts = batch["host"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        seqs = batch["discovery_seq"].to_pylist()
+        self.n_offered += len(urls)
+        maybe_seen = self.cuckoo.contains_many(hashes)
+        n_new = 0
+        for url, h, host, depth, seq, maybe in zip(urls, hashes, hosts, depths, seqs, maybe_seen):
+            if depth > self.cfg.max_hops:
+                self.n_rejected_filtered += 1
+                continue
+            rules, _ = self.robots.get(host, ((), 0))
+            if rules and self._robots_denied(url, rules):
+                self.n_rejected_filtered += 1
+                continue
+            if self.filters and any(f.search(url) for f in self.filters):
+                self.n_rejected_filtered += 1
+                continue
+            if maybe and url in self.seen:     # exact check only on cuckoo hit
+                self.n_rejected_seen += 1
+                continue
+            cur = self.staged.get(url)
+            if cur is None:
+                self.staged[url] = (depth, seq, host, int(h))
+                n_new += 1
+            elif seq < cur[1]:
+                self.staged[url] = (depth, seq, host, int(h))
+        return n_new
+
+    @staticmethod
+    def _robots_denied(url: str, rules: tuple[str, ...]) -> bool:
+        path = urlsplit(url).path or "/"
+        return any(path.startswith(r) for r in rules)
+
+    # -------------------------------------------------------------- pop_round
+    def _flush(self) -> None:
+        """Move staged offers into seen + heaps. Deterministic once all of a
+        round's offers have arrived (min-seq resolution is order-free);
+        called at pop_round and before snapshot."""
+        if not self.staged:
+            return
+        hashes = np.empty(len(self.staged), dtype=np.int64)
+        for i, (url, (depth, seq, host, uh)) in enumerate(self.staged.items()):
+            self.seen.add(url)
+            heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url))
+            hashes[i] = uh
+        self.cuckoo.insert_many(hashes)
+        self.staged = {}
+
+    def pop_round(self) -> pa.Table:
+        """Flush staging, then pop up to the per-host effective budget in
+        (depth, discovery_seq) order. Returns (host, url, depth,
+        discovery_seq, pop_idx); the driver stamps the global fetch_seq."""
+        self._flush()
+        hosts_out, urls_out, depths_out, seqs_out, pops_out = [], [], [], [], []
+        for host in list(self.heaps.keys()):
+            hp = self.heaps[host]
+            if not hp:
+                del self.heaps[host]
+                continue
+            _, delay = self.robots.get(host, ((), 0))
+            budget = self.cfg.effective_budget(delay)
+            for pop_idx in range(budget):
+                if not hp:
+                    break
+                depth, seq, url = heapq.heappop(hp)
+                hosts_out.append(host)
+                urls_out.append(url)
+                depths_out.append(depth)
+                seqs_out.append(seq)
+                pops_out.append(pop_idx)
+            if not hp:
+                del self.heaps[host]
+        return pa.table(
+            {
+                "host": pa.array(hosts_out, type=pa.string()),
+                "url": pa.array(urls_out, type=pa.string()),
+                "depth": pa.array(depths_out, type=pa.int32()),
+                "discovery_seq": pa.array(seqs_out, type=pa.int64()),
+                "pop_idx": pa.array(pops_out, type=pa.int32()),
+            }
+        )
+
+    def push_back(self, batch: pa.Table) -> None:
+        """Return urls cut by the max_docs cap to their heaps (O32)."""
+        for host, url, depth, seq in zip(batch["host"].to_pylist(),
+                                         batch["url"].to_pylist(),
+                                         batch["depth"].to_pylist(),
+                                         batch["discovery_seq"].to_pylist()):
+            heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url))
+
+    # ------------------------------------------------------------- lifecycle
+    def pending(self) -> int:
+        return sum(len(h) for h in self.heaps.values()) + len(self.staged)
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "seen": len(self.seen),
+            "pending": self.pending(),
+            "hosts": len(self.heaps),
+            "offered": self.n_offered,
+            "rejected_seen": self.n_rejected_seen,
+            "rejected_filtered": self.n_rejected_filtered,
+            "cuckoo_load": self.cuckoo.count / (self.cuckoo.n_buckets * 4),
+        }
+
+    def seen_table(self) -> pa.Table:
+        from aspseek_ray.functions.hashing import fnv1a64_arrow
+
+        urls = sorted(self.seen)
+        arr = pa.array(urls, type=pa.string())
+        return pa.table({"url": arr, "url_hash": pa.array(fnv1a64_arrow(arr))})
+
+    # ------------------------------------------------------------ checkpoint
+    def snapshot(self, ckpt_dir: str) -> dict:
+        """Atomic per-shard snapshot: seen set + pending heap entries.
+        Written to <ckpt_dir>/shard=<id>/ (tmp file + rename)."""
+        d = Path(ckpt_dir) / f"shard={self.shard_id}"
+        d.mkdir(parents=True, exist_ok=True)
+        self._flush()  # staged offers are part of durable state
+        seen_t = self.seen_table()
+        hosts, urls, depths, seqs = [], [], [], []
+        for host, hp in self.heaps.items():
+            for depth, seq, url in hp:
+                hosts.append(host); urls.append(url); depths.append(depth); seqs.append(seq)
+        front_t = pa.table({
+            "host": pa.array(hosts, type=pa.string()),
+            "url": pa.array(urls, type=pa.string()),
+            "depth": pa.array(depths, type=pa.int32()),
+            "discovery_seq": pa.array(seqs, type=pa.int64()),
+        })
+        for name, t in (("seen", seen_t), ("frontier", front_t)):
+            tmp = d / f".{name}.parquet.tmp"
+            pq.write_table(t, tmp)
+            tmp.rename(d / f"{name}.parquet")
+        return {"shard": self.shard_id, "seen": seen_t.num_rows,
+                "pending": front_t.num_rows}
+
+    def restore(self, ckpt_dir: str) -> dict:
+        d = Path(ckpt_dir) / f"shard={self.shard_id}"
+        seen_t = pq.read_table(d / "seen.parquet")
+        self.seen = set(seen_t["url"].to_pylist())
+        self.cuckoo = CuckooFilter(max(1 << 20, len(self.seen) * 2), seed=self.shard_id)
+        self.cuckoo.insert_many(np.asarray(seen_t["url_hash"], dtype=np.int64))
+        front_t = pq.read_table(d / "frontier.parquet")
+        self.heaps = {}
+        for host, url, depth, seq in zip(front_t["host"].to_pylist(),
+                                         front_t["url"].to_pylist(),
+                                         front_t["depth"].to_pylist(),
+                                         front_t["discovery_seq"].to_pylist()):
+            heapq.heappush(self.heaps.setdefault(host, []), (int(depth), int(seq), url))
+        self.staged = {}
+        return {"shard": self.shard_id, "seen": len(self.seen),
+                "pending": sum(len(h) for h in self.heaps.values())}

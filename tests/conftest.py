@@ -12,7 +12,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 @pytest.fixture(scope="session")
 def ray_session():
+    import os
+
     import ray
+
+    # Ray workers inherit the env captured at ray.init — make the repo (and
+    # tests/, for ref_sim) importable in workers regardless of driver cwd.
+    root = str(Path(__file__).resolve().parents[1])
+    extra = f"{root}:{root}/tests"
+    prev = os.environ.get("PYTHONPATH")
+    os.environ["PYTHONPATH"] = f"{extra}:{prev}" if prev else extra
 
     if not ray.is_initialized():
         ray.init(
