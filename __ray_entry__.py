@@ -1,44 +1,238 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl (frontier + politeness scheduler) on a
+deterministic synthetic Common-Crawl-style corpus sized for sf0.001 and
+returns the crawl trace. ``queries()`` exposes one callable per implemented
+operator family (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-checkable
+subset with column names matching exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in aspseek_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+# --------------------------------------------------------------------------
+# synthetic crawl corpus per scale factor (north_rule: synthesize the
+# input-shaped table deterministically; cached under /tmp per sf)
+# --------------------------------------------------------------------------
+_CORPUS_SIZES = {"0.001": (500, 16), "0.01": (2000, 40), "0.1": (20000, 400)}
+_CORPUS_VERSION = "v2"  # bump when fixtures/gen.py output changes
+
+
+def corpus_for(sf_dir: str) -> str:
+    m = re.search(r"sf([0-9.]+)", str(sf_dir))
+    sf = m.group(1).rstrip(".") if m else "0.01"
+    n_pages, n_hosts = _CORPUS_SIZES.get(sf, (2000, 40))
+    out = Path(f"/tmp/aspseek_ray_corpus/{_CORPUS_VERSION}_sf{sf}")
+    if not (out / "pages.parquet").exists():
+        from fixtures.gen import generate_corpus
+
+        generate_corpus(str(out), n_pages=n_pages, n_hosts=n_hosts, seed=42)
+    return str(out)
+
+
+def _run_crawl(sf_dir: str, out_name: str):
+    import shutil
+
+    from aspseek_ray.config import CrawlConfig
+    from aspseek_ray.pipelines.crawl import run_crawl
+
+    corpus = corpus_for(sf_dir)
+    out = f"/tmp/aspseek_ray_runs/{out_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(max_rounds=16, num_shards=4, num_page_buckets=8)
+    return run_crawl(corpus, out, cfg)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the sf0.001-scale synthetic web corpus; returns the
+    crawl trace (fetch_seq, round, url, host, depth, discovery_seq,
+    status) as a pandas DataFrame."""
+    res = _run_crawl("/root/testdata/sf0.001", "entry")
+    return res.trace_table().to_pandas()
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from aspseek_ray.pipelines import (
+        dedup,
+        index_products,
+        relational,
+        similarity,
+        textstats,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_trace(sf_dir: str):
+        return _run_crawl(sf_dir, "q_crawl").trace_table()
+
+    def crawl_pagerank(sf_dir: str):
+        return index_products.pagerank(f"{corpus_for(sf_dir)}/pages.parquet")
+
+    def crawl_clone_groups(sf_dir: str):
+        return index_products.clone_groups(f"{corpus_for(sf_dir)}/pages.parquet")
+
+    def crawl_postings_df(sf_dir: str):
+        import pyarrow as pa
+        import ray
+
+        p = index_products.build_postings(f"{corpus_for(sf_dir)}/pages.parquet")
+        merged = index_products.merge_postings(p)
+        return merged.select_columns(["word", "df"]).to_pandas()
+
+    def crawl_status_stats(sf_dir: str):
+        res = _run_crawl(sf_dir, "q_stats")
+        return index_products.crawl_status_stats(res.trace_table())
+
+    def multimodal_features(sf_dir: str):
+        from aspseek_ray.pipelines.multimodal import (
+            extract_media_features,
+            synth_media_dataset,
+        )
+
+        return extract_media_features(synth_media_dataset(256)).to_pandas()
+
+    return {
+        # relational / crawl-operator families (oracle-backed)
+        "lineitem_agg": relational.lineitem_agg,
+        "segment_revenue": relational.segment_revenue,
+        "topk_orders": relational.topk_orders,
+        "customers_without_big_orders": relational.customers_without_orders,
+        "top2_customers_per_nation": relational.top2_customers_per_nation,
+        "events_hourly": relational.events_hourly,
+        "docs_with_all_terms": relational.docs_with_all_terms,
+        # webtext / training-data ops (oracle-backed)
+        "token_stats": textstats.token_stats,
+        "word_df": textstats.word_document_frequency,
+        "exact_dedup": dedup.exact_dedup,
+        "jaccard_pairs": dedup.jaccard_pairs,
+        "embedding_near_dup": lambda sf_dir: dedup.embedding_near_dup_pairs(sf_dir, threshold=0.4),
+        "ann_topk": similarity.brute_topk,
+        # rows-only (non-SQL-expressible: iterative / approximate / stateful)
+        "crawl_trace": crawl_trace,
+        "crawl_pagerank": crawl_pagerank,
+        "crawl_clone_groups": crawl_clone_groups,
+        "crawl_postings_df": crawl_postings_df,
+        "crawl_status_stats": crawl_status_stats,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_near_pairs": dedup.simhash_near_pairs,
+        "lsh_topk": similarity.lsh_topk,
+        "language_id": textstats.language_id,
+        "quality_scores": textstats.quality_scores,
+        "fingerprints": textstats.fingerprints,
+        "multimodal_features": multimodal_features,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the pre-registered parquet views)
+# --------------------------------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "customers_without_big_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        """,
+        "top2_customers_per_nation": """
+            SELECT c_nationkey, c_custkey, c_acctbal FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer) WHERE rn <= 2
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "docs_with_all_terms": """
+            SELECT doc_id FROM documents
+            WHERE text LIKE '%spark%' AND text LIKE '%order%'
+        """,
+        "token_stats": f"""
+            WITH tok AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks
+                         FROM documents)
+            SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                   CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                        AS BIGINT) AS n_token_chars
+            FROM tok
+        """,
+        "word_df": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT word, COUNT(*) AS df FROM tok GROUP BY word
+            HAVING COUNT(*) >= 2
+        """,
+        "exact_dedup": """
+            SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+            FROM documents GROUP BY text
+        """,
+        "jaccard_pairs": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                      FROM tok a JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, vec_id, score,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, vec_id) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, ROUND(score, 4) AS score, rank
+            FROM r WHERE rank <= 5
+        """,
+    }

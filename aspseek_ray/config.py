@@ -32,6 +32,10 @@ class CrawlConfig:
     # checkpointing
     checkpoint_every: int = 1             # rounds between checkpoints
 
+    # stored-copy output (reference `stored` daemon, SURVEY S8): write
+    # (url_hash, url, text) zstd parquet per bucket per round
+    write_store: bool = True
+
     def effective_budget(self, crawl_delay_ms: int) -> int:
         """Per-round budget for a host honoring its crawl delay (pinned spec,
         see round_time_budget_ms)."""

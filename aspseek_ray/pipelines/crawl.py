@@ -29,6 +29,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -51,8 +52,7 @@ class CrawlResult:
     metrics: list[dict] = field(default_factory=list)
 
     def trace_table(self) -> pa.Table:
-        t = pq.read_table(str(Path(self.out_dir) / "trace"))
-        return t.sort_by("fetch_seq")
+        return read_trace(self.out_dir)
 
     def seen_path(self) -> str:
         return str(Path(self.out_dir) / "seen")
@@ -60,6 +60,60 @@ class CrawlResult:
 
 def _shard_of(host_hash: np.ndarray, S: int) -> np.ndarray:
     return np.abs(np.asarray(host_hash, dtype=np.int64)) % S
+
+
+def read_trace(out_dir: str) -> pa.Table:
+    """Read trace/round=K/part-*.parquet (no hive parsing — the round
+    column lives IN the files) sorted by fetch_seq."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(str(Path(out_dir) / "trace"), format="parquet",
+                     partitioning=None)
+    return d.to_table().select(TRACE_COLS).sort_by("fetch_seq")
+
+
+class FetchTraceDiscover:
+    """Fused per-bucket round stage (one Dataset execution per round):
+    fetch-join the scheduled batch against its pages bucket (O19), write
+    this bucket's trace part atomically (S9), extract + store the parsed
+    text of fetched pages (O6 + S8 stored copies, zstd parquet), parse +
+    canonicalize outlinks (O1/O3/O22-partial). Input: scheduled rows of
+    ONE bucket; output: candidate rows."""
+
+    def __init__(self, bucket_dir: str, trace_round_dir: str, rnd: int,
+                 max_hops: int, store_round_dir: str | None = None):
+        self.lookup = BucketLookup(bucket_dir)
+        self.trace_dir = Path(trace_round_dir)
+        self.store_dir = Path(store_round_dir) if store_round_dir else None
+        self.rnd = rnd
+        self.max_hops = max_hops
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fetched = self.lookup(batch)
+        bucket = int(batch["bucket"][0].as_py())
+        trace = fetched.select(
+            ["fetch_seq", "url", "host", "depth", "discovery_seq", "status"])
+        trace = trace.append_column(
+            "round", pa.array(np.full(trace.num_rows, self.rnd, np.int32)))
+        tmp = self.trace_dir / f".part-{bucket}.parquet.tmp"
+        pq.write_table(trace.select(TRACE_COLS), tmp)
+        tmp.rename(self.trace_dir / f"part-{bucket}.parquet")
+
+        if self.store_dir is not None:
+            from aspseek_ray.functions.html import extract_text
+
+            ok = fetched.filter(pc.equal(fetched["status"], 200))
+            store = pa.table({
+                "url_hash": ok["url_hash"],
+                "url": ok["url"],
+                "text": pa.array([extract_text(h) for h in ok["html"].to_pylist()],
+                                 pa.string()),
+            })
+            tmp = self.store_dir / f".part-{bucket}.parquet.tmp"
+            pq.write_table(store, tmp, compression="zstd")
+            tmp.rename(self.store_dir / f"part-{bucket}.parquet")
+
+        return parse_discover(fetched, self.max_hops)
 
 
 class Crawler:
@@ -143,9 +197,10 @@ class Crawler:
         if sched.num_rows == 0:
             return None
         # dense fetch_seq: (host lexicographic, heap-pop order) — FIXTURES §4.1
-        order = np.lexsort((np.asarray(sched["pop_idx"]),
-                            np.array(sched["host"].to_pylist())))
-        sched = sched.take(pa.array(order))
+        # (arrow C++ sort; python-string lexsort is ~10x slower)
+        order = pa.compute.sort_indices(
+            sched, sort_keys=[("host", "ascending"), ("pop_idx", "ascending")])
+        sched = sched.take(order).combine_chunks()
         if self.cfg.max_docs:
             remaining = self.cfg.max_docs - self.fetch_base
             if remaining <= 0:
@@ -167,34 +222,40 @@ class Crawler:
     def run_round(self) -> dict | None:
         t0 = time.monotonic()
         sched = self._pop_and_stamp()
+        t_pop = time.monotonic() - t0
         if sched is None:
             return None
         rnd = self.round
         n_sched = sched.num_rows
 
-        # one block per pages-bucket -> the fetch join never shuffles
+        # one block per pages-bucket -> the fetch join never shuffles; the
+        # whole round body (fetch -> trace part write -> discover -> offer)
+        # is ONE streamed Dataset execution.
+        trace_round_dir = self.out / "trace" / f"round={rnd}"
+        if trace_round_dir.exists():  # partial round from a crashed run
+            import shutil
+
+            shutil.rmtree(trace_round_dir)
+        trace_round_dir.mkdir(parents=True)
+
+        t_split0 = time.monotonic()
         by_bucket = [sched.filter(pa.array(np.asarray(sched["bucket"]) == b))
                      for b in np.unique(np.asarray(sched["bucket"]))]
-        ds = rd.from_arrow(by_bucket)
-        fetched = ds.map_batches(BucketLookup(self.bucket_dir),
-                                 batch_format="pyarrow", batch_size=None,
-                                 zero_copy_batch=True).materialize()
+        t_split = time.monotonic() - t_split0
+        t_put0 = time.monotonic()
+        ds = rd.from_arrow_refs([ray.put(t) for t in by_bucket])
+        t_put = time.monotonic() - t_put0
+        store_round_dir = None
+        if self.cfg.write_store:
+            srd = self.out / "store" / f"round={rnd}"
+            if srd.exists():
+                import shutil
 
-        # trace (small: round-size rows, html excluded)
-        trace_parts = ray.get(
-            fetched.select_columns(
-                ["fetch_seq", "url", "host", "depth", "discovery_seq", "status"]
-            ).to_arrow_refs())
-        trace = pa.concat_tables([t for t in trace_parts if t.num_rows])
-        trace = trace.append_column(
-            "round", pa.array(np.full(trace.num_rows, rnd, dtype=np.int32)))
-        trace = trace.select(TRACE_COLS).sort_by("fetch_seq")
-        tmp = self.out / "trace" / f".round={rnd}.parquet.tmp"
-        pq.write_table(trace, tmp)
-        tmp.rename(self.out / "trace" / f"round={rnd}.parquet")
-
-        # discover + offer
-        max_hops = self.cfg.max_hops
+                shutil.rmtree(srd)
+            srd.mkdir(parents=True)
+            store_round_dir = str(srd)
+        stage = FetchTraceDiscover(self.bucket_dir, str(trace_round_dir), rnd,
+                                   self.cfg.max_hops, store_round_dir)
         shards = self.shards
         S = self.cfg.num_shards
 
@@ -209,16 +270,20 @@ class Crawler:
             return pa.table({"n_candidates": pa.array([batch.num_rows], pa.int64()),
                              "n_new": pa.array([int(n_new)], pa.int64())})
 
-        counts = (fetched
-                  .map_batches(lambda b: parse_discover(b, max_hops),
-                               batch_format="pyarrow", batch_size=None,
+        t1 = time.monotonic()
+        counts = (ds
+                  .map_batches(stage, batch_format="pyarrow", batch_size=None,
                                zero_copy_batch=True)
                   .map_batches(offer_fn, batch_format="pyarrow")
                   .take_all())
+        t_pipe = time.monotonic() - t1
         n_cand = int(sum(r["n_candidates"] for r in counts))
         n_new = int(sum(r["n_new"] for r in counts))
 
-        statuses = np.asarray(trace["status"])
+        t2 = time.monotonic()
+        statuses = np.asarray(
+            pq.read_table(trace_round_dir, columns=["status"])["status"])
+        t_status = time.monotonic() - t2
         m = {
             "round": rnd,
             "scheduled": n_sched,
@@ -228,12 +293,19 @@ class Crawler:
             "newly_discovered": n_new,
             "fetch_base": self.fetch_base,
             "wall_sec": round(time.monotonic() - t0, 4),
+            "pop_sec": round(t_pop, 4),
+            "pipeline_sec": round(t_pipe, 4),
+            "status_sec": round(t_status, 4),
+            "split_sec": round(t_split, 4),
+            "put_sec": round(t_put, 4),
         }
         self.fetch_base += n_sched
         self.metrics.append(m)
 
         if self.cfg.checkpoint_every and (rnd + 1) % self.cfg.checkpoint_every == 0:
+            t3 = time.monotonic()
             self.checkpoint(rnd)
+            m["checkpoint_sec"] = round(time.monotonic() - t3, 4)
         self.round = rnd + 1
         return m
 
@@ -281,8 +353,8 @@ class Crawler:
 
 
 def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
-              *, resume: bool = False) -> CrawlResult:
-    c = Crawler(corpus_dir, out_dir, cfg, resume=resume)
+              *, resume: bool = False, scratch_dir: str | None = None) -> CrawlResult:
+    c = Crawler(corpus_dir, out_dir, cfg, resume=resume, scratch_dir=scratch_dir)
     try:
         return c.run()
     finally:

@@ -1,0 +1,313 @@
+"""Deduplication pipelines over the documents table — the training-data
+dedup suite (exact, word-set Jaccard, MinHash+LSH, SimHash, embedding
+cosine near-dup). The crawl engine's clone detection (SURVEY.md O23,
+reference checksum compare in src/index.cpp) is the exact case; the rest
+are the standard large-scale near-dup family.
+
+Scale pattern shared by all: per-batch signature computation in
+map_batches (vectorized numpy), explode to (bucket_key, doc) rows, shuffle
+ONLY the small signature rows (never the text), verify candidates, output
+pairs/groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from aspseek_ray.functions.hashing import fnv1a64, fnv1a64_arrow
+from aspseek_ray.functions.text import tokenize
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ------------------------------------------------------------------ exact O23
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact content dedup (clone detection O23): hash text per batch,
+    group by hash, keep min doc_id as canonical. Output
+    (canonical_id, n_docs) per distinct text."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "content_hash": pa.array(fnv1a64_arrow(batch["text"]))})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"canonical_id": [g["doc_id"].min()],
+                             "n_docs": [len(g)]})
+
+    out = (ds.map_batches(hash_stage, batch_format="pyarrow")
+             .groupby("content_hash")
+             .map_groups(first, batch_format="pandas"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(1, "n_docs", t["n_docs"].cast(pa.int64()))
+
+
+# ---------------------------------------------------------- word-set jaccard
+def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """EXACT all-pairs word-set Jaccard >= threshold via an inverted index:
+    explode (word_hash, doc_id), self-join per word (groupby), count
+    co-occurrences, then jaccard = inter / (|A| + |B| - inter). Only
+    signature rows shuffle. Output (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, jaccard rounded to 4."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, words = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for w in set(tokenize(t)):
+                doc_ids.append(d)
+                words.append(fnv1a64(w))
+        return pa.table({"word_hash": pa.array(words, pa.int64()),
+                         "doc_id": pa.array(doc_ids, pa.int64())})
+
+    tok = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # per-doc set sizes (broadcast — one int per doc, small)
+    counts = (tok.map_batches(
+                 lambda b: pa.table({"doc_id": b["doc_id"],
+                                     "one": pa.array(np.ones(b.num_rows, np.int64))}),
+                 batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("one", alias_name="set_size"))
+              .to_pandas())
+    size_of = dict(zip(counts["doc_id"], counts["set_size"]))
+    size_ref = ray.put(size_of)
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(g["doc_id"].to_numpy())
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        i, j = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"doc_a": docs[i], "doc_b": docs[j]})
+
+    co = (tok.groupby("word_hash")
+             .map_groups(pairs_in_group, batch_format="pandas")
+             .map_batches(lambda b: pa.table({
+                 "doc_a": b["doc_a"].cast(pa.int64()),
+                 "doc_b": b["doc_b"].cast(pa.int64()),
+                 "inter": pa.array(np.ones(b.num_rows, np.int64))}),
+                 batch_format="pyarrow")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Sum("inter", alias_name="inter")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        size_map = ray.get(size_ref)
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        inter = batch["inter"].to_numpy().astype(np.float64)
+        sa = np.fromiter((size_map[x] for x in a), np.float64, len(a))
+        sb = np.fromiter((size_map[x] for x in b), np.float64, len(b))
+        jac = inter / (sa + sb - inter)
+        keep = jac >= threshold
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "jaccard": pa.array(np.round(jac[keep], 4))})
+
+    out = co.map_batches(score, batch_format="pyarrow")
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+# --------------------------------------------------------------- minhash-lsh
+def _minhash_params(num_perm: int, seed: int = 123) -> np.ndarray:
+    """num_perm fixed 64-bit xor-seeds; h_i(x) = splitmix64(x ^ seed_i) —
+    a full-width uint64 hash family, fully vectorizable (no bigint mod)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 2**63, size=num_perm, dtype=np.int64).view(np.uint64)
+
+
+def minhash_signatures(batch: pa.Table, seeds: np.ndarray,
+                       shingle_words: int = 3) -> tuple[list[int], np.ndarray]:
+    """(doc_ids, signatures[n_docs, num_perm]) for a batch — vectorized
+    min over splitmix64(shingle_hash ^ seed_i)."""
+    from aspseek_ray.state.cuckoo import _mix
+
+    num_perm = len(seeds)
+    doc_ids = batch["doc_id"].to_pylist()
+    sigs = np.empty((len(doc_ids), num_perm), dtype=np.int64)
+    for i, t in enumerate(batch["text"].to_pylist()):
+        toks = tokenize(t)
+        if len(toks) < shingle_words:
+            shingles = {" ".join(toks)} if toks else {""}
+        else:
+            shingles = {" ".join(toks[j:j + shingle_words])
+                        for j in range(len(toks) - shingle_words + 1)}
+        x = np.fromiter((fnv1a64(s) for s in shingles), np.int64,
+                        len(shingles)).view(np.uint64)
+        vals = _mix(x[None, :] ^ seeds[:, None])      # (num_perm, n_shingles)
+        sigs[i] = vals.min(axis=1).view(np.int64)
+    return doc_ids, sigs
+
+
+def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5) -> pa.Table:
+    """Approximate near-dup pairs via MinHash + LSH banding: signatures per
+    batch -> explode (band_id, band_hash, doc_id) -> groupby band bucket ->
+    candidate pairs -> estimate jaccard as signature agreement, filter.
+    Output (doc_a, doc_b, est_jaccard)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    seeds = _minhash_params(num_perm)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, sigs = minhash_signatures(batch, seeds)
+        n = len(doc_ids)
+        band_ids, band_hashes, docs, sig_blobs = [], [], [], []
+        for i in range(n):
+            sig = sigs[i]
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+                band_ids.append(bi)
+                band_hashes.append(fnv1a64(chunk.tobytes()))
+                docs.append(doc_ids[i])
+                sig_blobs.append(sig.tobytes())
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "sig": pa.array(sig_blobs, pa.binary()),
+        })
+
+    exploded = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "est_jaccard": pd.Series([], dtype=np.float64)})
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        docs = g["doc_id"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
+        i, j = np.triu_indices(len(docs), k=1)
+        est = (sigs[i] == sigs[j]).mean(axis=1)
+        return pd.DataFrame({"doc_a": docs[i], "doc_b": docs[j],
+                             "est_jaccard": np.round(est, 4)})
+
+    pairs = (exploded.groupby(["band_id", "band_hash"])
+             .map_groups(candidates, batch_format="pandas"))
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    pdf = (pdf[pdf["est_jaccard"] >= threshold]
+           .drop_duplicates(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# -------------------------------------------------------------------- simhash
+def simhash64(sf_dir: str) -> pa.Table:
+    """(doc_id, simhash) — 64-bit SimHash over token hashes weighted by
+    term frequency (Charikar 2002, public algorithm)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sim(batch: pa.Table) -> pa.Table:
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = tokenize(t)
+            if not toks:
+                out[i] = 0
+                continue
+            uniq, cnt = np.unique(toks, return_counts=True)
+            hs = np.fromiter((fnv1a64(w) for w in uniq), np.int64, len(uniq)).view(np.uint64)
+            bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            v = ((bits * 2 - 1) * cnt[:, None]).sum(axis=0)
+            sh = np.uint64(0)
+            for bpos in np.nonzero(v > 0)[0]:
+                sh |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
+
+    out = ds.map_batches(sim, batch_format="pyarrow")
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs at hamming distance <= max_hamming via 4-block LSH
+    (pigeonhole: any pair within distance 3 agrees on >= 1 of 4 16-bit
+    blocks). Output (doc_a, doc_b, hamming)."""
+    t = simhash64(sf_dir)
+    ds = rd.from_arrow(t)
+
+    def blocks(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy().view(np.uint64)
+        doc = batch["doc_id"].to_numpy()
+        rows_doc, rows_block, rows_key, rows_sh = [], [], [], []
+        for bi in range(4):
+            key = ((sh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows_doc.append(doc)
+            rows_block.append(np.full(len(doc), bi, np.int32))
+            rows_key.append(key)
+            rows_sh.append(sh.view(np.int64))
+        return pa.table({
+            "block_id": pa.array(np.concatenate(rows_block)),
+            "block_key": pa.array(np.concatenate(rows_key)),
+            "doc_id": pa.array(np.concatenate(rows_doc)),
+            "simhash": pa.array(np.concatenate(rows_sh)),
+        })
+
+    def near(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        docs = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        i, j = np.triu_indices(len(docs), k=1)
+        x = sh[i] ^ sh[j]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": docs[i][keep], "doc_b": docs[j][keep],
+                             "hamming": ham[keep]})
+
+    pairs = (ds.map_batches(blocks, batch_format="pyarrow")
+               .groupby(["block_id", "block_key"])
+               .map_groups(near, batch_format="pandas")).to_pandas()
+    if len(pairs) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Cosine near-dup over the embeddings table: blocked matmul of
+    L2-normalized vectors against a broadcast matrix. O(n^2) scoring done
+    batch x full — the brute baseline; the LSH path is
+    similarity.lsh_topk. Output (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    full = pa.concat_tables(ray.get(emb.to_arrow_refs()))
+    ids = full["vec_id"].to_numpy()
+    M = np.stack(full["embedding"].to_pylist()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids, M))
+
+    def block(batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy()
+        B = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        all_ids, allM = ray.get(mat_ref)
+        S = B @ allM.T
+        bi, aj = np.nonzero(S >= threshold)
+        va, vb = bids[bi], all_ids[aj]
+        keep = va < vb
+        return pa.table({"vec_a": pa.array(va[keep].astype(np.int64)),
+                         "vec_b": pa.array(vb[keep].astype(np.int64)),
+                         "cosine": pa.array(np.round(S[bi, aj][keep], 4))})
+
+    out = emb.map_batches(block, batch_format="pyarrow", batch_size=1024)
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))

@@ -1,0 +1,218 @@
+"""Index products of the crawl (SURVEY.md §2.5, reference: ASPseek's
+inverted-index / citation / rank machinery rebuilt as Dataset jobs):
+
+* ``build_postings`` — tokenize + stopword-filter pages into postings
+  (word, word_bucket, doc_seq, positions), Parquet-partitioned by
+  word_bucket (S7/T5: the delta files + buddy pages become bucketed
+  parquet; Ray streaming replaces the RAM word-cache).
+* ``merge_postings`` — delta→main compaction (O21): per word, concat +
+  position-sort the per-doc lists (groupby within bucket partitions).
+* ``clone_groups`` — content-checksum clone detection (O10/O23).
+* ``pagerank`` — iterative popularity rank over the link graph (O28,
+  reference src/ranks.cpp `index -R`): per-iteration broadcast of the rank
+  vector + per-batch contribution partials + one small groupby per
+  iteration.
+* ``crawl_status_stats`` / ``host_stats`` — `index -S` counters (O29).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from aspseek_ray.functions.hashing import content_hash64, fnv1a64, fnv1a64_arrow
+from aspseek_ray.functions.html import extract_links
+from aspseek_ray.functions.text import STOPWORDS_EN, tokenize
+from aspseek_ray.functions.url import canonicalize, host_of
+
+NUM_WORD_BUCKETS = 64
+
+
+def build_postings(pages_path: str, out_dir: str | None = None,
+                   drop_stopwords: bool = True) -> rd.Dataset:
+    """pages -> postings (word, word_bucket, doc_seq, positions). doc_seq =
+    row order of the pages table (warc_ts ordering). Streams straight to
+    partitioned parquet when out_dir is given."""
+    ds = rd.read_parquet(pages_path, columns=["url", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words, docs, positions = [], [], []
+        doc_hashes = fnv1a64_arrow(batch["url"])
+        for i, text in enumerate(batch["text"].to_pylist()):
+            pos_of: dict[str, list[int]] = {}
+            for p, w in enumerate(tokenize(text)):
+                if drop_stopwords and w in STOPWORDS_EN:
+                    continue
+                pos_of.setdefault(w, []).append(p)
+            for w, ps in pos_of.items():
+                words.append(w)
+                docs.append(int(doc_hashes[i]))
+                positions.append(ps)
+        warr = pa.array(words, pa.string())
+        bucket = np.abs(fnv1a64_arrow(warr)) % NUM_WORD_BUCKETS
+        return pa.table({
+            "word": warr,
+            "word_bucket": pa.array(bucket.astype(np.int32)),
+            "doc_seq": pa.array(docs, pa.int64()),
+            "positions": pa.array(positions, pa.list_(pa.int32())),
+        })
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+    if out_dir:
+        postings.write_parquet(out_dir, partition_cols=["word_bucket"])
+        return rd.read_parquet(out_dir)
+    return postings
+
+
+def merge_postings(postings: rd.Dataset) -> rd.Dataset:
+    """Delta→main merge (O21): one row per word with doc-sorted postings.
+    Grouped by word (bucket partitioning keeps the shuffle local per
+    bucket at scale)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_seq")
+        return pd.DataFrame({
+            "word": [g["word"].iloc[0]],
+            "df": np.array([len(g)], np.int64),
+            "doc_seqs": [g["doc_seq"].to_list()],
+            "positions": [g["positions"].to_list()],
+        })
+
+    return postings.groupby("word").map_groups(merge, batch_format="pandas")
+
+
+def clone_groups(pages_path: str) -> pa.Table:
+    """Content-clone detection (O10/O23): group by body checksum; output
+    one row per clone group with >= 2 members:
+    (content_hash, canonical_url, n_clones)."""
+    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch["url"],
+                         "content_hash": pa.array(content_hash64(batch["html"]))})
+
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        return pd.DataFrame({"content_hash": [g["content_hash"].iloc[0]],
+                             "canonical_url": [g["url"].iloc[0]],
+                             "n_clones": np.array([len(g)], np.int64)})
+
+    out = (ds.map_batches(hash_stage, batch_format="pyarrow")
+             .groupby("content_hash").map_groups(group, batch_format="pandas"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.filter(pc.greater_equal(t["n_clones"], 2))
+
+
+def extract_link_edges(pages_path: str) -> rd.Dataset:
+    """(src, dst) canonical-url link edges from the corpus html (O26
+    citation collection)."""
+    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            base, hrefs = extract_links(html)
+            eff = base or url
+            seen = set()
+            for h in hrefs:
+                c = canonicalize(h, eff)
+                if c is None or c == url or c in seen:
+                    continue
+                seen.add(c)
+                srcs.append(url)
+                dsts.append(c)
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def pagerank(pages_path: str, iterations: int = 10, damping: float = 0.85,
+             ndigits: int = 6) -> pa.Table:
+    """Iterative PageRank over the corpus link graph (O28; reference
+    src/ranks.cpp). Per iteration: broadcast the rank vector (ray.put),
+    per-batch partial contributions (numpy bincount), one small groupby —
+    the edge set never reshuffles. Dangling mass is redistributed
+    uniformly. Output (url, rank) rounded to ``ndigits``.
+
+    Scale note: the broadcast rank vector is O(#nodes) — at 10^10 nodes
+    switch to the bucketed edges⋈ranks join keyed by dst_hash (same code
+    shape, keyed shuffle instead of broadcast); documented tradeoff."""
+    edges = extract_link_edges(pages_path).materialize()
+
+    # node universe: all urls in pages (rank is defined over crawled docs)
+    urls = rd.read_parquet(pages_path, columns=["url"])
+    nodes = sorted(pa.concat_tables(ray.get(urls.to_arrow_refs()))["url"].to_pylist())
+    idx_of = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    idx_ref = ray.put(idx_of)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        src = [idx.get(u, -1) for u in batch["src"].to_pylist()]
+        dst = [idx.get(u, -1) for u in batch["dst"].to_pylist()]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        return t.filter(pc.and_(pc.greater_equal(t["src"], 0),
+                                pc.greater_equal(t["dst"], 0)))
+
+    id_edges = edges.map_batches(to_ids, batch_format="pyarrow").materialize()
+
+    # out-degree per node (once)
+    deg = np.zeros(n, dtype=np.int64)
+    for b in id_edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        np.add.at(deg, b["src"].to_numpy(), 1)
+
+    ranks = np.full(n, 1.0 / n)
+    deg_safe = np.maximum(deg, 1)
+    for _ in range(iterations):
+        state_ref = ray.put(ranks / deg_safe)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            w = ray.get(state_ref)
+            dst = batch["dst"].to_numpy()
+            src = batch["src"].to_numpy()
+            acc = np.bincount(dst, weights=w[src], minlength=0)
+            nz = np.nonzero(acc)[0]
+            return pa.table({"node": pa.array(nz.astype(np.int64)),
+                             "mass": pa.array(acc[nz])})
+
+        parts = id_edges.map_batches(contrib, batch_format="pyarrow")
+        agg = parts.groupby("node").aggregate(Sum("mass", alias_name="mass")).to_pandas()
+        incoming = np.zeros(n)
+        incoming[agg["node"].to_numpy()] = agg["mass"].to_numpy()
+        dangling = ranks[deg == 0].sum()
+        ranks = (1 - damping) / n + damping * (incoming + dangling / n)
+
+    return pa.table({"url": pa.array(nodes, pa.string()),
+                     "rank": pa.array(np.round(ranks, ndigits))})
+
+
+def crawl_status_stats(trace: pa.Table) -> pa.Table:
+    """`index -S` status counters (O29) over a crawl trace table."""
+    ds = rd.from_arrow(trace.select(["status"]))
+    out = ds.groupby("status").aggregate(Count(alias_name="n")).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def host_stats(trace: pa.Table) -> pa.Table:
+    """Per-host fetch counters (O29): (host, n_fetched, n_ok)."""
+    ds = rd.from_arrow(trace.select(["host", "status"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("host", as_index=False).agg(
+            n_fetched=("status", "size"),
+            n_ok=("status", lambda s: int((s == 200).sum())))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("host")
+             .aggregate(Sum("n_fetched", alias_name="n_fetched"),
+                        Sum("n_ok", alias_name="n_ok"))).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)

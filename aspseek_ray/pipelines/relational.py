@@ -1,0 +1,182 @@
+"""Relational operator pipelines over the driver's TPC-H-ish tables —
+the SQL-expressible exercise of the same operator families the crawl engine
+uses (SURVEY.md §2.5/§2.6: O19 join, O20 anti-join, O21/O29/O30 grouped
+aggregation with partial pre-agg, O16/O24 top-k, O31 per-group head).
+
+Every function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column names match the oracle SQL in __ray_entry__.py exactly.
+
+Scale notes: dimension sides are broadcast (ray.put once, dict lookup per
+batch) — never shuffled; fact-side aggregations pre-aggregate inside
+map_batches (one row per key per batch) before the small global groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _round2(x):
+    return pc.round(x, ndigits=2)
+
+
+# --------------------------------------------------------------------- O21/O29
+def lineitem_agg(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-flavor grouped aggregate with per-batch partial aggregation
+    (the delta-merge / pre-agg pattern of SURVEY O21): map_batches emits one
+    partial row per (returnflag, linestatus) per batch; the global groupby
+    then shuffles only #keys x #batches rows, not 6e9 lineitems."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("disc_price", disc_price)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("l_quantity_count", alias_name="n_rows"),
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("sum_base_price"), "sum_base_price",
+                     _round2(t["sum_base_price"]))
+    return t.set_column(t.schema.get_field_index("sum_disc_price"), "sum_disc_price",
+                        _round2(t["sum_disc_price"]))
+
+
+# ------------------------------------------------------------------------- O19
+def segment_revenue(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer (broadcast small side) → revenue by market segment.
+    The crawl engine's fetch-join pattern (O19) run in reverse: the dim table
+    ships once via ray.put; the fact side never shuffles."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    class JoinAgg:
+        def __init__(self):
+            self.seg_of = ray.get(seg_of_ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            seg = pd.Series(batch["o_custkey"].to_numpy()).map(self.seg_of)
+            df = pd.DataFrame({"c_mktsegment": seg,
+                               "o_totalprice": batch["o_totalprice"].to_numpy()})
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("total_price", alias_name="total_price"),
+        Sum("n_orders", alias_name="n_orders"),
+    ).to_pandas()
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.set_column(t.schema.get_field_index("total_price"), "total_price",
+                        _round2(t["total_price"]))
+
+
+# ------------------------------------------------------------------- O16 / O24
+def topk_orders(sf_dir: str, k: int = 10) -> pa.Table:
+    """Global top-k with deterministic tiebreak (O24 result ranking)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# ------------------------------------------------------------------------- O20
+def customers_without_orders(sf_dir: str, min_price: float = 300_000.0) -> pa.Table:
+    """Anti-join via broadcast key set (the discovery-vs-seen pattern, O20):
+    customers with no order above ``min_price``. At 100-TB scale the key set
+    becomes a bucketed anti-join or a per-shard membership actor (exactly
+    what the crawl engine does with CrawlShard)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"],
+                             filter=pc.field("o_totalprice") > min_price)
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64, count=len(keys)))
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        have = np.isin(batch["c_custkey"].to_numpy(), ray.get(keys_ref))
+        return batch.filter(pa.array(~have))
+
+    out = ds.map_batches(anti, batch_format="pyarrow")
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+# ------------------------------------------------------------------------- O31
+def top2_customers_per_nation(sf_dir: str) -> pa.Table:
+    """Per-group head-m (site-grouped results, O31): top-2 customers by
+    account balance per nation, deterministic tiebreak on custkey."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def head2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c_acctbal", "c_custkey"],
+                             ascending=[False, True]).head(2)
+
+    out = ds.groupby("c_nationkey").map_groups(head2, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# ------------------------------------------------------- streaming-shaped O29
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate over the events table (Ray Data guide
+    streaming-shaped pattern): floor ts to the hour inside map_batches (no
+    shuffle), then grouped count/sum over (event_type, hour)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("hour", hour)
+
+    out = (ds.map_batches(stamp, batch_format="pyarrow")
+             .groupby(["event_type", "hour"])
+             .aggregate(Count(alias_name="n_events"),
+                        Sum("value", alias_name="total_value"))).to_pandas()
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.set_column(t.schema.get_field_index("total_value"), "total_value",
+                        _round2(t["total_value"]))
+
+
+# ------------------------------------------------------------------------- O27
+def docs_with_all_terms(sf_dir: str, terms: tuple[str, ...] = ("spark", "order")) -> pa.Table:
+    """Posting-list AND-intersection analog (O27): documents containing every
+    term as a substring, fully vectorized (pc.match_substring per term)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def matches(batch: pa.Table) -> pa.Table:
+        mask = None
+        for term in terms:
+            m = pc.match_substring(batch["text"], term)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask).select(["doc_id"])
+
+    out = ds.map_batches(matches, batch_format="pyarrow")
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))

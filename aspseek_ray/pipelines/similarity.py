@@ -1,0 +1,142 @@
+"""Approximate-nearest-neighbor search over the embeddings table
+(list<float> column) — the similarity-search component of a training-data
+pipeline.
+
+* ``brute_topk`` — exact cosine top-k: numpy matmul per batch against a
+  broadcast query matrix (ray.put once), per-batch partial top-k, merged by
+  a tiny grouped reduction. This is the oracle-checkable baseline.
+* ``lsh_topk`` — random-hyperplane LSH bucketing (sign bits) as the scale
+  path: vectors shuffle once into hash buckets; queries probe only their
+  bucket (+ optional hamming-1 neighbors). Approximate -> rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n_queries))
+    qids = t["vec_id"].to_numpy()
+    Q = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    return qids, Q
+
+
+def brute_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
+    """Exact cosine top-k of every query vector against the whole table
+    (self-match excluded). Output (query_id, vec_id, score, rank) with
+    score rounded to 4, rank 1..k by (-score, vec_id) — deterministic."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((qids, Q))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(q_ref)
+        vids = batch["vec_id"].to_numpy()
+        M = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Q_ @ M.T                                   # (n_q, n_batch)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, S.shape[1])                    # +1 to survive self-drop
+        for qi in range(S.shape[0]):
+            part = np.argpartition(-S[qi], kk - 1)[:kk]
+            out_q.append(np.full(len(part), qids_[qi], np.int64))
+            out_v.append(vids[part].astype(np.int64))
+            out_s.append(S[qi][part])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "score": pa.array(np.concatenate(out_s))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]]            # drop self-match
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64),
+                     score=np.round(g["score"].to_numpy(), 4))
+        return g
+
+    out = (ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+             .groupby("query_id")
+             .map_groups(merge, batch_format="pandas"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 77) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5, n_bits: int = 6) -> pa.Table:
+    """LSH-bucketed approximate top-k: vectors are bucketed by the sign
+    pattern of ``n_bits`` random hyperplanes (one shuffle); each query scans
+    only its own bucket + hamming-1 neighbor buckets (multi-probe). Scales
+    as O(n / 2^bits * (bits+1)) score work per query vs O(n) brute force;
+    recall is approximate by design. Output (query_id, vec_id, score)."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # dim from the query matrix; hyperplanes fixed by seed
+    H = _hyperplanes(Q.shape[1], n_bits)
+    q_buckets = ((Q @ H.T) > 0).astype(np.int64)
+    q_codes = (q_buckets * (1 << np.arange(n_bits))).sum(axis=1)
+    probe: dict[int, list[int]] = {}
+    for qi, code in enumerate(q_codes):
+        codes = [int(code)] + [int(code) ^ (1 << b) for b in range(n_bits)]
+        for c in codes:
+            probe.setdefault(c, []).append(qi)
+    probe_ref = ray.put((qids, Q, probe))
+    H_ref = ray.put(H)
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        H_ = ray.get(H_ref)
+        M = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        codes = (((M @ H_.T) > 0).astype(np.int64)
+                 * (1 << np.arange(H_.shape[0]))).sum(axis=1)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "embedding": batch["embedding"],
+                         "code": pa.array(codes)})
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, probe_ = ray.get(probe_ref)
+        code = int(g["code"].iloc[0])
+        q_idx = probe_.get(code, [])
+        if not q_idx:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        M = np.stack(g["embedding"].to_list()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        vids = g["vec_id"].to_numpy()
+        S = Q_[q_idx] @ M.T
+        rows_q, rows_v, rows_s = [], [], []
+        for r, qi in enumerate(q_idx):
+            kk = min(k + 1, S.shape[1])
+            part = np.argpartition(-S[r], kk - 1)[:kk]
+            rows_q.append(np.full(len(part), qids_[qi], np.int64))
+            rows_v.append(vids[part].astype(np.int64))
+            rows_s.append(S[r][part])
+        return pd.DataFrame({"query_id": np.concatenate(rows_q),
+                             "vec_id": np.concatenate(rows_v),
+                             "score": np.concatenate(rows_s)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]].drop_duplicates(["vec_id"])
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return g.assign(score=np.round(g["score"].to_numpy(), 4))
+
+    out = (ds.map_batches(bucket_stage, batch_format="pyarrow", batch_size=4096)
+             .groupby("code")
+             .map_groups(score_bucket, batch_format="pandas")
+             .groupby("query_id")
+             .map_groups(merge, batch_format="pandas"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

@@ -31,11 +31,17 @@ def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
     """One-time shuffle of pages by url_hash % num_buckets into
     ``out_dir/bucket=K/``. Idempotent: skips when a matching manifest exists."""
     out = Path(out_dir)
+    pages_path = str(Path(pages_path).resolve())  # symlinked corpora match
     manifest = out / "_bucket_manifest.json"
     if manifest.exists():
         m = json.loads(manifest.read_text())
-        if m.get("num_buckets") == num_buckets and m.get("source") == str(pages_path):
+        if m.get("num_buckets") == num_buckets and m.get("source") == pages_path:
             return str(out)
+    if out.exists():  # stale layout from another source/bucket-count
+        import shutil
+
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
 
     ds = rd.read_parquet(pages_path, columns=columns or ["url", "html"])
 
@@ -47,7 +53,7 @@ def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
     (ds.map_batches(stamp, batch_format="pyarrow")
        .write_parquet(str(out), partition_cols=["bucket"]))
     manifest.write_text(json.dumps({"num_buckets": num_buckets,
-                                    "source": str(pages_path)}))
+                                    "source": pages_path}))
     return str(out)
 
 
@@ -63,13 +69,14 @@ class BucketLookup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
 
+        batch = batch.combine_chunks()  # multi-chunk cols hit slow isin/index_in paths
         bucket = int(batch["bucket"][0].as_py())
         path = Path(self.bucket_dir) / f"bucket={bucket}"
         urls = batch["url"]
         if path.exists():
             dset = pads.dataset(str(path), format="parquet")
             hit = dset.to_table(columns=["url", "html"],
-                                filter=pc.field("url").isin(urls))
+                                filter=pc.field("url").isin(urls)).combine_chunks()
         else:
             hit = pa.table({"url": pa.array([], type=pa.string()),
                             "html": pa.array([], type=pa.binary())})

@@ -191,10 +191,10 @@ class CrawlShard:
             "cuckoo_load": self.cuckoo.count / (self.cuckoo.n_buckets * 4),
         }
 
-    def seen_table(self) -> pa.Table:
+    def seen_table(self, sort: bool = True) -> pa.Table:
         from aspseek_ray.functions.hashing import fnv1a64_arrow
 
-        urls = sorted(self.seen)
+        urls = sorted(self.seen) if sort else list(self.seen)
         arr = pa.array(urls, type=pa.string())
         return pa.table({"url": arr, "url_hash": pa.array(fnv1a64_arrow(arr))})
 
@@ -205,7 +205,7 @@ class CrawlShard:
         d = Path(ckpt_dir) / f"shard={self.shard_id}"
         d.mkdir(parents=True, exist_ok=True)
         self._flush()  # staged offers are part of durable state
-        seen_t = self.seen_table()
+        seen_t = self.seen_table(sort=False)  # checkpoints need no ordering
         hosts, urls, depths, seqs = [], [], [], []
         for host, hp in self.heaps.items():
             for depth, seq, url in hp:

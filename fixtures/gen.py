@@ -137,7 +137,7 @@ def _render_href(target_url: str, target_path: str, base_url: str, base_path: st
 
 
 def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
-              base_href: str | None) -> bytes:
+              base_href: str | None, block_scale: int = 1) -> bytes:
     parts = ["<html><head><title>", title, "</title>"]
     if rng.random() < 0.5:
         parts.append(f'<meta name="description" content="{_sentence(rng, 3, 8, 0)}">')
@@ -146,7 +146,7 @@ def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
     if base_href:
         parts.append(f'<base href="{base_href}">')
     parts.append("</head><body>")
-    n_blocks = int(rng.integers(2, 8))
+    n_blocks = int(rng.integers(2, 8)) + 3 * (block_scale - 1)
     href_slots = list(hrefs)
     rng.shuffle(href_slots)  # anchor order within page is seeded
     for b in range(n_blocks):
@@ -154,13 +154,13 @@ def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
         if kind < 0.15:
             parts.append(f"<h{int(rng.integers(1, 4))}>{_sentence(rng, 2, 6)}</h{int(rng.integers(1, 4))}>")
         elif kind < 0.55:
-            body = _sentence(rng)
+            body = " ".join(_sentence(rng) for _ in range(block_scale))
             if href_slots and rng.random() < 0.8:
                 a = href_slots.pop()
                 body += f' <a href="{a}">{_sentence(rng, 1, 3, 0)}</a> {_sentence(rng, 2, 6)}'
             parts.append(f"<p>{body}</p>")
         elif kind < 0.7:
-            parts.append(f"<div>{_sentence(rng)}</div>")
+            parts.append(f"<div>{' '.join(_sentence(rng) for _ in range(block_scale))}</div>")
         elif kind < 0.8:
             items = "".join(f"<li>{_sentence(rng, 2, 5)}</li>" for _ in range(int(rng.integers(2, 5))))
             parts.append(f"<ul>{items}</ul>")
@@ -178,7 +178,12 @@ def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
 
 
 def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
-                    seed: int = 42, n_seeds: int = 8) -> dict[str, str]:
+                    seed: int = 42, n_seeds: int = 8,
+                    clone_fraction: float = 0.03,
+                    block_scale: int = 1) -> dict[str, str]:
+    """block_scale multiplies per-page content blocks: 1 ≈ 3 KB pages
+    (fast unit/conformance tests); 8–10 ≈ 20–30 KB (Common-Crawl-realistic
+    pages for throughput benchmarking)."""
     """Write pages.parquet / seeds.parquet / robots.parquet to ``out_dir``.
     Returns {"pages": path, "seeds": path, "robots": path}."""
     out = Path(out_dir)
@@ -242,7 +247,19 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
         hrefs.append("#")
         hrefs.append("mailto:owner@" + host)
         title = _sentence(rng, 2, 6, 0.05)
-        htmls.append(_gen_html(rng, title, hrefs, base_href))
+        htmls.append(_gen_html(rng, title, hrefs, base_href, block_scale))
+
+    # exact-clone injection (mirrors / boilerplate dupes — O23 clone
+    # detection needs real duplicate bodies): ~clone_fraction of non-root
+    # pages copy an earlier page's html byte-for-byte.
+    if clone_fraction > 0 and len(htmls) > 10:
+        n_clones = int(len(htmls) * clone_fraction)
+        for _ in range(n_clones):
+            dst = int(rng.integers(1, len(htmls)))
+            src = int(rng.integers(0, dst))
+            if url_list[dst][2] == "/":      # keep host roots unique
+                continue
+            htmls[dst] = htmls[src]
 
     texts = [extract_text(h) for h in htmls]
     n = len(url_list)
