@@ -22,7 +22,7 @@ from typing import Any
 # input-shaped table deterministically; cached under /tmp per sf)
 # --------------------------------------------------------------------------
 _CORPUS_SIZES = {"0.001": (500, 16), "0.01": (2000, 40), "0.1": (20000, 400)}
-_CORPUS_VERSION = "v2"  # bump when fixtures/gen.py output changes
+_CORPUS_VERSION = "v3"  # bump when fixtures/gen.py output changes
 
 
 def corpus_for(sf_dir: str) -> str:

@@ -81,8 +81,9 @@ class FetchTraceDiscover:
     ONE bucket; output: candidate rows."""
 
     def __init__(self, bucket_dir: str, trace_round_dir: str, rnd: int,
-                 max_hops: int, store_round_dir: str | None = None):
-        self.lookup = BucketLookup(bucket_dir)
+                 max_hops: int, store_round_dir: str | None = None,
+                 redirects_ref=None):
+        self.lookup = BucketLookup(bucket_dir, redirects_ref)
         self.trace_dir = Path(trace_round_dir)
         self.store_dir = Path(store_round_dir) if store_round_dir else None
         self.rnd = rnd
@@ -132,6 +133,14 @@ class Crawler:
         scratch = Path(scratch_dir or (self.out / "pages_bucketed"))
         self.bucket_dir = bucket_pages(f"{corpus_dir}/pages.parquet", str(scratch),
                                        num_buckets=self.cfg.num_page_buckets)
+
+        # redirect alias map (O11/O25) — broadcast once; empty if absent
+        rpath = Path(corpus_dir) / "redirects.parquet"
+        rmap: dict[str, str] = {}
+        if rpath.exists():
+            rtab = pq.read_table(rpath)
+            rmap = dict(zip(rtab["src_url"].to_pylist(), rtab["dst_url"].to_pylist()))
+        self.redirects_ref = ray.put(rmap)
 
         robots = pq.read_table(f"{corpus_dir}/robots.parquet")
         host_hashes = fnv1a64_arrow(robots["host"])
@@ -255,7 +264,8 @@ class Crawler:
             srd.mkdir(parents=True)
             store_round_dir = str(srd)
         stage = FetchTraceDiscover(self.bucket_dir, str(trace_round_dir), rnd,
-                                   self.cfg.max_hops, store_round_dir)
+                                   self.cfg.max_hops, store_round_dir,
+                                   self.redirects_ref)
         shards = self.shards
         S = self.cfg.num_shards
 

@@ -59,12 +59,18 @@ def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
 
 class BucketLookup:
     """Per-task lookup into one pages bucket: given a batch of scheduled
-    urls ALL IN THE SAME BUCKET, return the batch joined with (html,) and a
-    status column (200 hit / 404 miss). Reads only that bucket's files with
-    an ``isin`` pushdown filter."""
+    urls ALL IN THE SAME BUCKET, return the batch joined with (html,), a
+    status column (200 hit / 301 redirect alias / 404 miss) and a
+    ``redirect`` column (target url for 301 rows, else null). Reads only
+    that bucket's files with an ``isin`` pushdown filter.
 
-    def __init__(self, bucket_dir: str):
+    Redirects ship as one broadcast dict (ray.put once per run) — at
+    10^10-URL scale, bucket the redirect table alongside pages instead
+    (same url_hash layout) and look it up per bucket."""
+
+    def __init__(self, bucket_dir: str, redirects_ref=None):
         self.bucket_dir = bucket_dir
+        self.redirects_ref = redirects_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
@@ -82,8 +88,20 @@ class BucketLookup:
                             "html": pa.array([], type=pa.binary())})
         # left join scheduled -> pages (vectorized index_in)
         idx = pc.index_in(urls, value_set=hit["url"])
-        status = pc.if_else(pc.is_valid(idx), pa.scalar(200, pa.int32()),
-                            pa.scalar(404, pa.int32()))
+        found = pc.is_valid(idx)
+        status_np = np.where(np.asarray(found), 200, 404).astype(np.int32)
+        redirect = [None] * batch.num_rows
+        if self.redirects_ref is not None:
+            import ray
+
+            rmap = ray.get(self.redirects_ref)
+            if rmap:
+                for i in np.nonzero(status_np == 404)[0]:
+                    dst = rmap.get(urls[int(i)].as_py())
+                    if dst is not None:
+                        status_np[i] = 301
+                        redirect[int(i)] = dst
         html = pc.take(hit["html"], idx)  # null where missing
-        out = batch.append_column("status", status.cast(pa.int32()))
-        return out.append_column("html", html)
+        out = batch.append_column("status", pa.array(status_np))
+        out = out.append_column("html", html)
+        return out.append_column("redirect", pa.array(redirect, pa.string()))

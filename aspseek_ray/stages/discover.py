@@ -32,6 +32,8 @@ def parse_discover(batch: pa.Table, max_hops: int) -> pa.Table:
     fseqs = batch["fetch_seq"].to_pylist()
     statuses = batch["status"].to_pylist()
     htmls = batch["html"].to_pylist()
+    redirects = (batch["redirect"].to_pylist() if "redirect" in batch.schema.names
+                 else [None] * batch.num_rows)
 
     c_urls: list[str] = []
     c_hosts: list[str] = []
@@ -39,7 +41,24 @@ def parse_discover(batch: pa.Table, max_hops: int) -> pa.Table:
     c_seqs: list[int] = []
     best: dict[str, int] = {}  # url -> index into lists (partial dedup, min seq)
 
-    for url, depth, fseq, status, html in zip(urls, depths, fseqs, statuses, htmls):
+    def add(c: str, nd: int, seq: int) -> None:
+        j = best.get(c)
+        if j is None:
+            best[c] = len(c_urls)
+            c_urls.append(c)
+            c_hosts.append(host_of(c))
+            c_depths.append(nd)
+            c_seqs.append(seq)
+        elif seq < c_seqs[j]:
+            c_depths[j] = nd
+            c_seqs[j] = seq
+
+    for url, depth, fseq, status, html, redir in zip(
+            urls, depths, fseqs, statuses, htmls, redirects):
+        if status == 301 and redir:
+            # hop-preserving redirect target (O11/O25): depth unchanged
+            add(redir, depth, (fseq + 1) * DISC_SHIFT)
+            continue
         if status != 200 or html is None:
             continue
         nd = depth + 1
@@ -51,17 +70,7 @@ def parse_discover(batch: pa.Table, max_hops: int) -> pa.Table:
             c = canonicalize(h, eff)
             if c is None:
                 continue
-            seq = (fseq + 1) * DISC_SHIFT + link_idx
-            j = best.get(c)
-            if j is None:
-                best[c] = len(c_urls)
-                c_urls.append(c)
-                c_hosts.append(host_of(c))
-                c_depths.append(nd)
-                c_seqs.append(seq)
-            elif seq < c_seqs[j]:
-                c_depths[j] = nd
-                c_seqs[j] = seq
+            add(c, nd, (fseq + 1) * DISC_SHIFT + link_idx)
 
     url_arr = pa.array(c_urls, type=pa.string())
     host_arr = pa.array(c_hosts, type=pa.string())

@@ -204,6 +204,16 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
     url_set = {u for u, _, _ in url_list}
     urls_by_host = {h: [(f"http://{h}{p}", p) for p in ps] for h, ps in host_paths.items()}
 
+    # redirect aliases (reference 301/302 handling, SURVEY O11/O25): short
+    # alias urls (not in pages) that 301 to a real page; some links route
+    # through them. alias -> target, same host as target.
+    redirect_of: dict[str, str] = {}
+
+    def alias_for(target_url: str, target_host: str) -> str:
+        a = f"http://{target_host}/r/{len(redirect_of):04d}"
+        redirect_of[a] = target_url
+        return a
+
     # --- generate html per page -------------------------------------------
     htmls: list[bytes] = []
     for url, host, path in url_list:
@@ -227,12 +237,18 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
                 # existing target: 80% same host, 20% other host
                 if rng.random() < 0.8 or len(hosts) == 1:
                     tu, tp = own[int(rng.integers(len(own)))]
+                    th = host
                     same = True
                 else:
                     oh = hosts[int(rng.integers(len(hosts)))]
                     cand = urls_by_host[oh]
                     tu, tp = cand[int(rng.integers(len(cand)))]
+                    th = oh
                     same = oh == host
+                if rng.random() < 0.05:
+                    # route via a 301 alias (absolute only)
+                    hrefs.append(alias_for(tu, th))
+                    continue
             else:
                 # dangling same-host target (-> 404 path)
                 tp = f"/missing/m{int(rng.integers(0, 10_000))}.html"
@@ -312,10 +328,17 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
     )
     pq.write_table(robots, out / "robots.parquet")
 
+    redirects = pa.table({
+        "src_url": pa.array(list(redirect_of.keys()), pa.string()),
+        "dst_url": pa.array(list(redirect_of.values()), pa.string()),
+    })
+    pq.write_table(redirects, out / "redirects.parquet")
+
     return {
         "pages": str(out / "pages.parquet"),
         "seeds": str(out / "seeds.parquet"),
         "robots": str(out / "robots.parquet"),
+        "redirects": str(out / "redirects.parquet"),
     }
 
 

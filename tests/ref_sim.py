@@ -47,9 +47,13 @@ def robots_denied(path: str, rules: list[str]) -> bool:
 
 def simulate(pages: dict[str, bytes], seeds: list[str],
              robots: dict[str, tuple[list[str], int]],
-             cfg: CrawlConfig) -> SimResult:
+             cfg: CrawlConfig,
+             redirects: dict[str, str] | None = None) -> SimResult:
     """pages: url -> html; seeds: canonical urls in file order;
-    robots: host -> (rules, crawl_delay_ms)."""
+    robots: host -> (rules, crawl_delay_ms); redirects: alias url ->
+    target url (fetching an alias yields status 301 and offers the target
+    hop-preserving with seq (pfseq+1)*2**20 — SURVEY O11/O25)."""
+    redirects = redirects or {}
     res = SimResult()
     heaps: dict[str, list] = {}
     filters = [re.compile(p) for p in cfg.disallow_patterns]
@@ -97,7 +101,12 @@ def simulate(pages: dict[str, bytes], seeds: list[str],
 
         fetched = []
         for host, depth, seq, url in scheduled:
-            status = 200 if url in pages else 404
+            if url in pages:
+                status = 200
+            elif url in redirects:
+                status = 301
+            else:
+                status = 404
             res.trace.append(
                 dict(fetch_seq=fetch_seq, round=rnd, url=url, host=host,
                      depth=depth, discovery_seq=seq, status=status)
@@ -106,6 +115,10 @@ def simulate(pages: dict[str, bytes], seeds: list[str],
             fetch_seq += 1
 
         for pfseq, url, depth, status in fetched:
+            if status == 301:
+                # hop-preserving redirect target (O11)
+                offer(redirects[url], depth, (pfseq + 1) * DISC_SHIFT)
+                continue
             if status != 200:
                 continue
             base, hrefs = extract_links(pages[url])
@@ -132,4 +145,12 @@ def load_corpus(corpus_dir: str):
         for h, r, d in zip(rt["host"].to_pylist(), rt["rules"].to_pylist(),
                            rt["crawl_delay_ms"].to_pylist())
     }
-    return pages, seeds, robots
+    import os
+
+    redirects: dict[str, str] = {}
+    rp = f"{corpus_dir}/redirects.parquet"
+    if os.path.exists(rp):
+        rtab = pq.read_table(rp)
+        redirects = dict(zip(rtab["src_url"].to_pylist(),
+                             rtab["dst_url"].to_pylist()))
+    return pages, seeds, robots, redirects

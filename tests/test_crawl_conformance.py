@@ -23,11 +23,14 @@ def corpus(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def golden(corpus):
-    pages, seeds, robots = load_corpus(corpus)
-    return simulate(pages, seeds, robots, CFG)
+    pages, seeds, robots, redirects = load_corpus(corpus)
+    return simulate(pages, seeds, robots, CFG, redirects)
 
 
 def test_trace_and_seen_conformance(ray_session, corpus, golden, tmp_path):
+    # the corpus must actually exercise every status path
+    statuses = {r["status"] for r in golden.trace}
+    assert statuses == {200, 301, 404}, statuses
     res = run_crawl(corpus, str(tmp_path / "out"), CFG)
     trace = res.trace_table().to_pylist()
     assert len(trace) == len(golden.trace)
@@ -80,8 +83,8 @@ def test_resume_from_checkpoint(ray_session, corpus, golden, tmp_path):
 
 def test_max_docs_cap(ray_session, corpus, tmp_path):
     cfg = CrawlConfig(max_rounds=10, num_shards=4, num_page_buckets=8, max_docs=17)
-    pages, seeds, robots = load_corpus(corpus)
-    want = simulate(pages, seeds, robots, cfg)
+    pages, seeds, robots, redirects = load_corpus(corpus)
+    want = simulate(pages, seeds, robots, cfg, redirects)
     res = run_crawl(corpus, str(tmp_path / "out"), cfg)
     assert res.total_fetched == 17
     assert res.trace_table().to_pylist() == want.trace
