@@ -122,22 +122,28 @@ def _minhash_params(num_perm: int, seed: int = 123) -> np.ndarray:
 
 def minhash_signatures(batch: pa.Table, seeds: np.ndarray,
                        shingle_words: int = 3) -> tuple[list[int], np.ndarray]:
-    """(doc_ids, signatures[n_docs, num_perm]) for a batch — vectorized
-    min over splitmix64(shingle_hash ^ seed_i)."""
+    """(doc_ids, signatures[n_docs, num_perm]) for a batch — one
+    fnv1a64_arrow sweep over ALL shingles of the batch (C-speed), then a
+    vectorized min over splitmix64(shingle_hash ^ seed_i) per doc."""
     from aspseek_ray.state.cuckoo import _mix
 
     num_perm = len(seeds)
     doc_ids = batch["doc_id"].to_pylist()
-    sigs = np.empty((len(doc_ids), num_perm), dtype=np.int64)
-    for i, t in enumerate(batch["text"].to_pylist()):
+    all_shingles: list[str] = []
+    offsets = [0]
+    for t in batch["text"].to_pylist():
         toks = tokenize(t)
         if len(toks) < shingle_words:
             shingles = {" ".join(toks)} if toks else {""}
         else:
             shingles = {" ".join(toks[j:j + shingle_words])
                         for j in range(len(toks) - shingle_words + 1)}
-        x = np.fromiter((fnv1a64(s) for s in shingles), np.int64,
-                        len(shingles)).view(np.uint64)
+        all_shingles.extend(shingles)
+        offsets.append(len(all_shingles))
+    hashes = fnv1a64_arrow(pa.array(all_shingles, pa.string())).view(np.uint64)
+    sigs = np.empty((len(doc_ids), num_perm), dtype=np.int64)
+    for i in range(len(doc_ids)):
+        x = hashes[offsets[i]:offsets[i + 1]]
         vals = _mix(x[None, :] ^ seeds[:, None])      # (num_perm, n_shingles)
         sigs[i] = vals.min(axis=1).view(np.int64)
     return doc_ids, sigs
@@ -208,21 +214,35 @@ def simhash64(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sim(batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        tok_lists = [tokenize(t) for t in texts]
+        uniqs, cnts, offsets = [], [], [0]
+        for toks in tok_lists:
+            if toks:
+                u, c = np.unique(toks, return_counts=True)
+                uniqs.append(u)
+                cnts.append(c)
+            offsets.append(offsets[-1] + (len(uniqs[-1]) if toks else 0))
+        if uniqs:
+            all_words = np.concatenate(uniqs)
+            hs_all = fnv1a64_arrow(pa.array(all_words.tolist(), pa.string())).view(np.uint64)
+            cnt_all = np.concatenate(cnts)
+        else:
+            hs_all = np.empty(0, np.uint64)
+            cnt_all = np.empty(0, np.int64)
         bit_idx = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            toks = tokenize(t)
-            if not toks:
+        # one (n_words, 64) bit expansion for the whole batch
+        bits = ((hs_all[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        weighted = (bits * 2 - 1) * cnt_all[:, None]
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        powers = (np.uint64(1) << bit_idx)
+        for i in range(batch.num_rows):
+            lo, hi = offsets[i], offsets[i + 1]
+            if lo == hi:
                 out[i] = 0
                 continue
-            uniq, cnt = np.unique(toks, return_counts=True)
-            hs = np.fromiter((fnv1a64(w) for w in uniq), np.int64, len(uniq)).view(np.uint64)
-            bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            v = ((bits * 2 - 1) * cnt[:, None]).sum(axis=0)
-            sh = np.uint64(0)
-            for bpos in np.nonzero(v > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sh.astype(np.int64))
+            v = weighted[lo:hi].sum(axis=0)
+            out[i] = powers[v > 0].sum().astype(np.uint64).view(np.int64) if (v > 0).any() else 0
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 
     out = ds.map_batches(sim, batch_format="pyarrow")
