@@ -64,34 +64,44 @@ def _string_array_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.nda
     return lengths, starts, data
 
 
+_FNV_CHUNK = 16384  # bound temp-matrix allocs (large first-touch allocations
+                    # stall multi-seconds under this VM's THP compaction)
+
+
 def fnv1a64_arrow(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Vectorized FNV-1a64 of each element of a string/binary Arrow array.
 
     Returns an int64 ndarray (uint64 bits reinterpreted). Nulls hash as the
-    empty string. Cost is O(n * max_len) numpy ops swept column-wise —
-    designed for short strings (URLs), not document bodies.
+    empty string. Cost is O(n * max_len) numpy ops swept column-wise in
+    bounded chunks — designed for short strings (URLs), not bodies.
     """
     lengths, starts, data = _string_array_buffers(arr)
     n = len(lengths)
+    out = np.empty(n, dtype=_U64)
+    prime = _U64(_FNV_PRIME)
+    for lo in range(0, n, _FNV_CHUNK):
+        hi = min(lo + _FNV_CHUNK, n)
+        cl = lengths[lo:hi]
+        cs = starts[lo:hi]
+        m = hi - lo
+        max_len = int(cl.max()) if m else 0
+        h = np.full(m, _FNV_OFFSET, dtype=_U64)
+        if max_len:
+            col_idx = np.arange(max_len, dtype=np.int64)
+            mask = col_idx[None, :] < cl[:, None]             # (m, max_len)
+            idx = cs[:, None] + col_idx[None, :]
+            matrix = np.zeros((m, max_len), dtype=np.uint8)
+            matrix[mask] = data[idx[mask]]
+            with np.errstate(over="ignore"):
+                for j in range(max_len):
+                    mj = mask[:, j]
+                    if not mj.any():
+                        break
+                    h[mj] = (h[mj] ^ matrix[:, j][mj].astype(_U64)) * prime
+        out[lo:hi] = h
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    max_len = int(lengths.max()) if n else 0
-    h = np.full(n, _FNV_OFFSET, dtype=_U64)
-    if max_len:
-        col_idx = np.arange(max_len, dtype=np.int64)
-        mask = col_idx[None, :] < lengths[:, None]            # (n, max_len)
-        idx = starts[:, None] + col_idx[None, :]
-        matrix = np.zeros((n, max_len), dtype=np.uint8)
-        matrix[mask] = data[idx[mask]]
-        prime = _U64(_FNV_PRIME)
-        with np.errstate(over="ignore"):
-            for j in range(max_len):
-                m = mask[:, j]
-                if not m.any():
-                    break
-                hj = h[m]
-                h[m] = (hj ^ matrix[:, j][m].astype(_U64)) * prime
-    return h.view(np.int64)
+    return out.view(np.int64)
 
 
 def content_hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:

@@ -62,6 +62,8 @@ def _shard_of(host_hash: np.ndarray, S: int) -> np.ndarray:
     return np.abs(np.asarray(host_hash, dtype=np.int64)) % S
 
 
+
+
 def read_trace(out_dir: str) -> pa.Table:
     """Read trace/round=K/part-*.parquet (no hive parsing — the round
     column lives IN the files) sorted by fetch_seq."""
@@ -89,8 +91,12 @@ class FetchTraceDiscover:
         self.rnd = rnd
         self.max_hops = max_hops
 
+    last_status_counts: dict[int, int] = {}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         fetched = self.lookup(batch)
+        vals, cnts = np.unique(np.asarray(fetched["status"]), return_counts=True)
+        self.last_status_counts = {int(v): int(c) for v, c in zip(vals, cnts)}
         bucket = int(batch["bucket"][0].as_py())
         trace = fetched.select(
             ["fetch_seq", "url", "host", "depth", "discovery_seq", "status"])
@@ -224,7 +230,8 @@ class Crawler:
         n = sched.num_rows
         sched = sched.append_column(
             "fetch_seq", pa.array(self.fetch_base + np.arange(n, dtype=np.int64)))
-        sched = sched.append_column("url_hash", pa.array(fnv1a64_arrow(sched["url"])))
+        # url_hash was stamped at discovery and carried through the heaps —
+        # the driver never re-hashes
         bucket = np.abs(np.asarray(sched["url_hash"], dtype=np.int64)) % self.cfg.num_page_buckets
         return sched.append_column("bucket", pa.array(bucket.astype(np.int32)))
 
@@ -251,9 +258,6 @@ class Crawler:
         by_bucket = [sched.filter(pa.array(np.asarray(sched["bucket"]) == b))
                      for b in np.unique(np.asarray(sched["bucket"]))]
         t_split = time.monotonic() - t_split0
-        t_put0 = time.monotonic()
-        ds = rd.from_arrow_refs([ray.put(t) for t in by_bucket])
-        t_put = time.monotonic() - t_put0
         store_round_dir = None
         if self.cfg.write_store:
             srd = self.out / "store" / f"round={rnd}"
@@ -266,6 +270,11 @@ class Crawler:
         stage = FetchTraceDiscover(self.bucket_dir, str(trace_round_dir), rnd,
                                    self.cfg.max_hops, store_round_dir,
                                    self.redirects_ref)
+
+        # Round body: ONE streamed Dataset execution — fetch-join + trace/
+        # store part writes + discover, then the offer stage, pipelined by
+        # the streaming executor (measured faster than an equivalent raw-
+        # task fan-out: offers overlap with still-running fetch tasks).
         shards = self.shards
         S = self.cfg.num_shards
 
@@ -281,6 +290,7 @@ class Crawler:
                              "n_new": pa.array([int(n_new)], pa.int64())})
 
         t1 = time.monotonic()
+        ds = rd.from_arrow_refs([ray.put(t) for t in by_bucket])
         counts = (ds
                   .map_batches(stage, batch_format="pyarrow", batch_size=None,
                                zero_copy_batch=True)
@@ -289,25 +299,22 @@ class Crawler:
         t_pipe = time.monotonic() - t1
         n_cand = int(sum(r["n_candidates"] for r in counts))
         n_new = int(sum(r["n_new"] for r in counts))
-
-        t2 = time.monotonic()
-        statuses = np.asarray(
-            pq.read_table(trace_round_dir, columns=["status"])["status"])
-        t_status = time.monotonic() - t2
+        st = pq.read_table(trace_round_dir, columns=["status"])["status"]
+        statuses = np.asarray(st)
+        n_200 = int((statuses == 200).sum())
+        n_404 = int((statuses == 404).sum())
         m = {
             "round": rnd,
             "scheduled": n_sched,
-            "fetched_200": int((statuses == 200).sum()),
-            "fetched_404": int((statuses == 404).sum()),
+            "fetched_200": n_200,
+            "fetched_404": n_404,
             "candidates": n_cand,
             "newly_discovered": n_new,
             "fetch_base": self.fetch_base,
             "wall_sec": round(time.monotonic() - t0, 4),
             "pop_sec": round(t_pop, 4),
             "pipeline_sec": round(t_pipe, 4),
-            "status_sec": round(t_status, 4),
             "split_sec": round(t_split, 4),
-            "put_sec": round(t_put, 4),
         }
         self.fetch_base += n_sched
         self.metrics.append(m)

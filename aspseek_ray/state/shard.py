@@ -128,7 +128,7 @@ class CrawlShard:
         hashes = np.empty(len(self.staged), dtype=np.int64)
         for i, (url, (depth, seq, host, uh)) in enumerate(self.staged.items()):
             self.seen.add(url)
-            heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url))
+            heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url, uh))
             hashes[i] = uh
         self.cuckoo.insert_many(hashes)
         self.staged = {}
@@ -138,7 +138,7 @@ class CrawlShard:
         (depth, discovery_seq) order. Returns (host, url, depth,
         discovery_seq, pop_idx); the driver stamps the global fetch_seq."""
         self._flush()
-        hosts_out, urls_out, depths_out, seqs_out, pops_out = [], [], [], [], []
+        hosts_out, urls_out, depths_out, seqs_out, pops_out, hashes_out = [], [], [], [], [], []
         for host in list(self.heaps.keys()):
             hp = self.heaps[host]
             if not hp:
@@ -149,12 +149,13 @@ class CrawlShard:
             for pop_idx in range(budget):
                 if not hp:
                     break
-                depth, seq, url = heapq.heappop(hp)
+                depth, seq, url, uh = heapq.heappop(hp)
                 hosts_out.append(host)
                 urls_out.append(url)
                 depths_out.append(depth)
                 seqs_out.append(seq)
                 pops_out.append(pop_idx)
+                hashes_out.append(uh)
             if not hp:
                 del self.heaps[host]
         return pa.table(
@@ -164,16 +165,18 @@ class CrawlShard:
                 "depth": pa.array(depths_out, type=pa.int32()),
                 "discovery_seq": pa.array(seqs_out, type=pa.int64()),
                 "pop_idx": pa.array(pops_out, type=pa.int32()),
+                "url_hash": pa.array(hashes_out, type=pa.int64()),
             }
         )
 
     def push_back(self, batch: pa.Table) -> None:
         """Return urls cut by the max_docs cap to their heaps (O32)."""
-        for host, url, depth, seq in zip(batch["host"].to_pylist(),
-                                         batch["url"].to_pylist(),
-                                         batch["depth"].to_pylist(),
-                                         batch["discovery_seq"].to_pylist()):
-            heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url))
+        for host, url, depth, seq, uh in zip(batch["host"].to_pylist(),
+                                             batch["url"].to_pylist(),
+                                             batch["depth"].to_pylist(),
+                                             batch["discovery_seq"].to_pylist(),
+                                             batch["url_hash"].to_pylist()):
+            heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url, uh))
 
     # ------------------------------------------------------------- lifecycle
     def pending(self) -> int:
@@ -206,15 +209,17 @@ class CrawlShard:
         d.mkdir(parents=True, exist_ok=True)
         self._flush()  # staged offers are part of durable state
         seen_t = self.seen_table(sort=False)  # checkpoints need no ordering
-        hosts, urls, depths, seqs = [], [], [], []
+        hosts, urls, depths, seqs, hashes = [], [], [], [], []
         for host, hp in self.heaps.items():
-            for depth, seq, url in hp:
-                hosts.append(host); urls.append(url); depths.append(depth); seqs.append(seq)
+            for depth, seq, url, uh in hp:
+                hosts.append(host); urls.append(url); depths.append(depth)
+                seqs.append(seq); hashes.append(uh)
         front_t = pa.table({
             "host": pa.array(hosts, type=pa.string()),
             "url": pa.array(urls, type=pa.string()),
             "depth": pa.array(depths, type=pa.int32()),
             "discovery_seq": pa.array(seqs, type=pa.int64()),
+            "url_hash": pa.array(hashes, type=pa.int64()),
         })
         for name, t in (("seen", seen_t), ("frontier", front_t)):
             tmp = d / f".{name}.parquet.tmp"
@@ -231,11 +236,13 @@ class CrawlShard:
         self.cuckoo.insert_many(np.asarray(seen_t["url_hash"], dtype=np.int64))
         front_t = pq.read_table(d / "frontier.parquet")
         self.heaps = {}
-        for host, url, depth, seq in zip(front_t["host"].to_pylist(),
-                                         front_t["url"].to_pylist(),
-                                         front_t["depth"].to_pylist(),
-                                         front_t["discovery_seq"].to_pylist()):
-            heapq.heappush(self.heaps.setdefault(host, []), (int(depth), int(seq), url))
+        for host, url, depth, seq, uh in zip(front_t["host"].to_pylist(),
+                                             front_t["url"].to_pylist(),
+                                             front_t["depth"].to_pylist(),
+                                             front_t["discovery_seq"].to_pylist(),
+                                             front_t["url_hash"].to_pylist()):
+            heapq.heappush(self.heaps.setdefault(host, []),
+                           (int(depth), int(seq), url, int(uh)))
         self.staged = {}
         return {"shard": self.shard_id, "seen": len(self.seen),
                 "pending": sum(len(h) for h in self.heaps.values())}
