@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         index_products,
         relational,
+        search,
         similarity,
         textstats,
     )
@@ -117,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": dedup.jaccard_pairs,
         "embedding_near_dup": lambda sf_dir: dedup.embedding_near_dup_pairs(sf_dir, threshold=0.4),
         "ann_topk": similarity.brute_topk,
+        "phrase_search": search.phrase_search,
+        "boolean_and_search": search.boolean_and_search,
+        "tfidf_search": search.tfidf_search,
         # rows-only (non-SQL-expressible: iterative / approximate / stateful)
         "crawl_trace": crawl_trace,
         "crawl_pagerank": crawl_pagerank,
@@ -221,6 +225,31 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "phrase_search": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9])scan[^a-z0-9]+slow($|[^a-z0-9])')
+        """,
+        "boolean_and_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT doc_id FROM tok WHERE word IN ('spark', 'window', 'scan')
+            GROUP BY doc_id HAVING COUNT(DISTINCT word) = 3
+        """,
+        "tfidf_search": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+            tf AS (SELECT doc_id, word, COUNT(*) AS c FROM tok
+                   WHERE word IN ('spark', 'window', 'scan') GROUP BY doc_id, word),
+            df AS (SELECT word, COUNT(DISTINCT doc_id) AS d FROM tok
+                   WHERE word IN ('spark', 'window', 'scan') GROUP BY word),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id,
+                         SUM(tf.c * ln(CAST(n.n AS DOUBLE) / df.d)) AS score
+                  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+                  GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(score, 4) AS score FROM s
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
