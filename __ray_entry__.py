@@ -94,6 +94,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _run_crawl(sf_dir, "q_stats")
         return index_products.crawl_status_stats(res.trace_table())
 
+    def crawl_recrawl_diff(sf_dir: str):
+        from aspseek_ray.pipelines import revisit
+
+        res = _run_crawl(sf_dir, "q_recrawl")
+        return revisit.recrawl_diff(f"{res.out_dir}/store",
+                                    f"{corpus_for(sf_dir)}/pages.parquet")
+
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             extract_media_features,
@@ -127,7 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
         "crawl_status_stats": crawl_status_stats,
+        "crawl_recrawl_diff": crawl_recrawl_diff,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "near_dup_groups": dedup.near_dup_groups,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "lsh_topk": similarity.lsh_topk,
         "language_id": textstats.language_id,

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Min, Sum
 
 from aspseek_ray.functions.hashing import fnv1a64, fnv1a64_arrow
 from aspseek_ray.functions.text import tokenize
@@ -300,6 +300,73 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                          "hamming": pa.array([], pa.int64())})
     pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+# -------------------------------------------------- duplicate-group closure
+def connected_components(pairs: pa.Table, max_iters: int = 20) -> pa.Table:
+    """Cluster near-dup PAIRS (doc_a, doc_b) into duplicate groups via
+    iterative min-label propagation (the scalable all-groupby formulation:
+    each round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds). Returns
+    (doc_id, group_id = min doc_id of the component) for every doc that
+    appears in a pair. Iteration count is checked — raises if not
+    converged (pathological chains need more rounds).
+
+    Scale note: each iteration is one groupby over the edge list — the
+    standard label-propagation CC. The label map covers only nodes that
+    appear in near-dup pairs (<< corpus size); at extreme pair counts,
+    replace the broadcast map with a labels Dataset joined per round."""
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "group_id": pa.array([], pa.int64())})
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    # undirected edge list, both directions
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})).materialize()
+
+    # label(node) starts as node id
+    nodes = np.unique(src)
+    labels = {int(n): int(n) for n in nodes}
+    for _ in range(max_iters):
+        lab_ref = ray.put(labels)
+
+        def propose(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            s = batch["src"].to_numpy()
+            d = batch["dst"].to_numpy()
+            prop = np.fromiter((lab[int(x)] for x in s), np.int64, len(s))
+            return pa.table({"node": pa.array(d), "label": pa.array(prop)})
+
+        agg = (edges.map_batches(propose, batch_format="pyarrow")
+               .groupby("node").aggregate(Min("label", alias_name="label"))
+               ).to_pandas()
+        changed = False
+        for n, l in zip(agg["node"], agg["label"]):
+            n, l = int(n), int(l)
+            if l < labels[n]:
+                labels[n] = l
+                changed = True
+        # pointer doubling (label-of-label) => O(log diameter) rounds
+        for n in labels:
+            ln = labels[n]
+            if labels.get(ln, ln) < ln:
+                labels[n] = labels[ln]
+                changed = True
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
+    out_nodes = sorted(labels)
+    return pa.table({"doc_id": pa.array(out_nodes, pa.int64()),
+                     "group_id": pa.array([labels[n] for n in out_nodes], pa.int64())})
+
+
+def near_dup_groups(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """End-to-end near-dup grouping: exact word-set-Jaccard pairs >=
+    threshold -> connected components -> (doc_id, group_id)."""
+    return connected_components(jaccard_pairs(sf_dir, threshold))
 
 
 # ------------------------------------------------------- embedding near-dup
