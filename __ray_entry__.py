@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": relational.customers_without_orders,
         "top2_customers_per_nation": relational.top2_customers_per_nation,
         "events_hourly": relational.events_hourly,
+        "events_sessions": relational.events_sessions,
         "docs_with_all_terms": relational.docs_with_all_terms,
         # webtext / training-data ops (oracle-backed)
         "token_stats": textstats.token_stats,
@@ -190,6 +191,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            WITH x AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM y GROUP BY user_id, sid
         """,
         "docs_with_all_terms": """
             SELECT doc_id FROM documents

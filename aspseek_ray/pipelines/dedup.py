@@ -37,15 +37,15 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"],
                          "content_hash": pa.array(fnv1a64_arrow(batch["text"]))})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"canonical_id": [g["doc_id"].min()],
-                             "n_docs": [len(g)]})
+    from ray.data.aggregate import Count
 
     out = (ds.map_batches(hash_stage, batch_format="pyarrow")
              .groupby("content_hash")
-             .map_groups(first, batch_format="pandas"))
+             .aggregate(Min("doc_id", alias_name="canonical_id"),
+                        Count(alias_name="n_docs")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return t.set_column(1, "n_docs", t["n_docs"].cast(pa.int64()))
+    return t.select(["canonical_id", "n_docs"]).set_column(
+        1, "n_docs", t["n_docs"].cast(pa.int64()))
 
 
 # ---------------------------------------------------------- word-set jaccard

@@ -165,6 +165,35 @@ def events_hourly(sf_dir: str) -> pa.Table:
                         _round2(t["total_value"]))
 
 
+# ---------------------------------------------------- streaming-shaped sessions
+def events_sessions(sf_dir: str, gap_s: int = 1800) -> pa.Table:
+    """Session windows over the events stream (Ray Data guide
+    streaming-shaped pattern): per user, a gap > gap_s starts a new
+    session. The input is treated as a partitioned log — groupby(user_id)
+    + per-group pandas over the ts-sorted group, deterministic tiebreak on
+    event_id. Output one row per session:
+    (user_id, session_start, n_events, total_value)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        new_session = (gap.isna() | (gap > gap_s)).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "size"),
+            total_value=("value", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["total_value"] = np.round(out["total_value"].to_numpy(), 2)
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 # ------------------------------------------------------------------------- O27
 def docs_with_all_terms(sf_dir: str, terms: tuple[str, ...] = ("spark", "order")) -> pa.Table:
     """Posting-list AND-intersection analog (O27): documents containing every

