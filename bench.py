@@ -32,9 +32,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench-sized synthetic crawl corpus (cached once under /tmp): large
 # per-round fetch batches so the round loop's fixed overhead amortizes the
 # way it would at real frontier scale.
-BENCH_CORPUS = "/tmp/aspseek_ray_bench/corpus_v6_200k"
+# plain bench corpus: ~8 KB pages — fast per-driver-round timings
+BENCH_CORPUS = "/tmp/aspseek_ray_bench/corpus_v5_200k"
 BENCH_PAGES, BENCH_HOSTS = 200_000, 4_000
-BENCH_BLOCK_SCALE = 24   # ~20-25 KB pages (Common-Crawl-realistic)
+BENCH_BLOCK_SCALE = 8
+# scaling corpus: content-amplified v5 (~30 KB pages) so the saturated
+# crawl is compute-dominated — the regime where cluster-size scaling is
+# meaningful. Built distributedly from the base corpus (see
+# _amplify_corpus); documented in BASELINE.md.
+SCALING_CORPUS = "/tmp/aspseek_ray_bench/corpus_v5_200k_amp3"
+SCALING_AMPLIFY = 3
 
 
 def _ensure_corpus() -> str:
@@ -43,18 +50,59 @@ def _ensure_corpus() -> str:
 
         # every host seeded: the bench measures sustained frontier
         # throughput with all politeness queues active (the 10^10-frontier
-        # steady state), not the cold-start discovery ramp. block_scale=8
-        # gives Common-Crawl-realistic ~20-30 KB pages so fetch+parse is
-        # real work, not round-loop overhead.
+        # steady state), not the cold-start discovery ramp.
         generate_corpus(BENCH_CORPUS, n_pages=BENCH_PAGES, n_hosts=BENCH_HOSTS,
-                        seed=42, n_seeds=BENCH_HOSTS, block_scale=BENCH_BLOCK_SCALE)
+                        seed=42, n_seeds=BENCH_HOSTS,
+                        block_scale=BENCH_BLOCK_SCALE)
     return BENCH_CORPUS
+
+
+def _ensure_scaling_corpus() -> str:
+    """Content-amplified corpus for the scaling bench: each page's body
+    grows by SCALING_AMPLIFY copies of its own extracted text wrapped in
+    <p> blocks (deterministic, no RNG); text is re-derived with the
+    normative extractor so the byte-identical invariant still holds.
+    Distributed build (map_batches) — minutes, cached."""
+    import shutil
+
+    out = Path(SCALING_CORPUS)
+    if (out / "pages.parquet").exists():
+        return str(out)
+    src = _ensure_corpus()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aspseek_ray.functions.html import extract_text
+
+    out.mkdir(parents=True, exist_ok=True)
+    for f in ("robots.parquet", "seeds.parquet"):
+        shutil.copy(Path(src) / f, out / f)
+
+    tail = b"</body></html>"
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        htmls, texts = [], []
+        for h in batch["html"].to_pylist():
+            body = h[:-len(tail)] if h.endswith(tail) else h
+            filler = extract_text(h).encode("utf-8")
+            h2 = body + (b"<p>" + filler + b"</p>") * SCALING_AMPLIFY + tail
+            htmls.append(h2)
+            texts.append(extract_text(h2))
+        t = batch.drop_columns(["html", "text"])
+        t = t.append_column("html", pa.array(htmls, pa.binary()))
+        return t.append_column("text", pa.array(texts, pa.string()))
+
+    (rd.read_parquet(f"{src}/pages.parquet")
+       .map_batches(amplify, batch_format="pyarrow", batch_size=512)
+       .write_parquet(str(out / "pages.parquet")))
+    return str(out)
 
 
 def _warm_cache(paths: list[str]) -> None:
     for p in paths:
         for f in Path(p).rglob("*.parquet"):
-            f.read_bytes()
+            if f.is_file():
+                f.read_bytes()
 
 
 def _make_saturated_corpus(corpus: str, sat_dir: str) -> None:
@@ -107,11 +155,11 @@ def run_sat_only() -> dict:
     from aspseek_ray.pipelines.crawl import run_crawl
     from aspseek_ray.sources.pages import bucket_pages
 
-    corpus = _ensure_corpus()
-    bucket_scratch = f"/tmp/aspseek_ray_bench/buckets_{BENCH_PAGES}_b128"
+    corpus = _ensure_scaling_corpus()
+    bucket_scratch = f"{SCALING_CORPUS}_buckets128"
     bucket_pages(f"{corpus}/pages.parquet", bucket_scratch, num_buckets=128)
     _warm_cache([corpus, bucket_scratch])
-    sat_dir = f"{BENCH_CORPUS}_sat"
+    sat_dir = f"{SCALING_CORPUS}_sat"
     _make_saturated_corpus(corpus, sat_dir)
     out = f"/tmp/aspseek_ray_bench/crawl_sat_cpus{NUM_CPUS}"
     shutil.rmtree(out, ignore_errors=True)
@@ -158,6 +206,7 @@ def run_bench() -> dict:
     res = run_crawl(corpus, out, cfg, scratch_dir=bucket_scratch)
     crawl_sec = time.monotonic() - t0
     timings["crawl"] = round(crawl_sec, 3)
+    print(f"[bench] crawl: {crawl_sec:.1f}s", file=sys.stderr)
 
     # ---- saturated-frontier throughput (the scaling headline) ------------
     # A 10^10-URL frontier's steady state has every politeness queue deep:
@@ -177,6 +226,7 @@ def run_bench() -> dict:
     res_sat = run_crawl(sat_dir, out_sat, cfg_sat, scratch_dir=bucket_scratch128)
     sat_sec = time.monotonic() - t0
     timings["crawl_saturated"] = round(sat_sec, 3)
+    print(f"[bench] crawl_saturated: {sat_sec:.1f}s", file=sys.stderr)
     urls_per_sec = res_sat.total_fetched / sat_sec
 
     # ---- representative operator pipelines over $GRAFT_SF_DIR ------------
@@ -190,6 +240,7 @@ def run_bench() -> dict:
         r = q[name](SF_DIR)
         _ = len(r) if hasattr(r, "__len__") else r.count()
         timings[name] = round(time.monotonic() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
     ray.shutdown()
     return {
@@ -228,7 +279,7 @@ def _sat_once(ncpu: int) -> dict:
 
     from aspseek_ray.pipelines.crawl import Crawler
 
-    sat_dir = f"{BENCH_CORPUS}_sat"
+    sat_dir = f"{SCALING_CORPUS}_sat"
     out = f"/tmp/aspseek_ray_bench/crawl_sat_cpus{ncpu}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(per_host_per_round=1_000_000, max_rounds=2,
@@ -239,7 +290,7 @@ def _sat_once(ncpu: int) -> dict:
     # separately (politeness crawl keeps checkpoint_every=4); timed
     # section = the crawl rounds + final artifacts.
     c = Crawler(sat_dir, out, cfg,
-                scratch_dir=f"/tmp/aspseek_ray_bench/buckets_{BENCH_PAGES}_b128")
+                scratch_dir=f"{SCALING_CORPUS}_buckets128")
     t0 = time.monotonic()
     res = c.run()
     sec = time.monotonic() - t0
@@ -260,10 +311,10 @@ def run_scaling() -> dict:
     mean of the two pairs (and each measurement)."""
     from aspseek_ray.sources.pages import bucket_pages
 
-    corpus = _ensure_corpus()
-    scratch = f"/tmp/aspseek_ray_bench/buckets_{BENCH_PAGES}_b128"
+    corpus = _ensure_scaling_corpus()
+    scratch = f"{SCALING_CORPUS}_buckets128"
     bucket_pages(f"{corpus}/pages.parquet", scratch, num_buckets=128)
-    _make_saturated_corpus(corpus, f"{BENCH_CORPUS}_sat")
+    _make_saturated_corpus(corpus, f"{SCALING_CORPUS}_sat")
     _warm_cache([corpus, scratch])
 
     seq = [_sat_once(8), _sat_once(32), _sat_once(32), _sat_once(8)]
