@@ -182,19 +182,31 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     exploded = ds.map_batches(band_rows, batch_format="pyarrow")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        """One call per band_id (16 coarse groups, not one per bucket):
+        vectorized inner grouping by band_hash; only colliding buckets
+        (>=2 docs) cost python."""
+        out_a, out_b, out_e = [], [], []
+        for _, bucket in g.groupby("band_hash", sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(bucket) < 2:
+                continue
+            docs = bucket["doc_id"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.int64)
+                             for s in bucket["sig"]])
+            i, j = np.triu_indices(len(docs), k=1)
+            est = (sigs[i] == sigs[j]).mean(axis=1)
+            out_a.append(docs[i]); out_b.append(docs[j]); out_e.append(est)
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64),
                                  "est_jaccard": pd.Series([], dtype=np.float64)})
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
-        i, j = np.triu_indices(len(docs), k=1)
-        est = (sigs[i] == sigs[j]).mean(axis=1)
-        return pd.DataFrame({"doc_a": docs[i], "doc_b": docs[j],
-                             "est_jaccard": np.round(est, 4)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "est_jaccard": np.round(np.concatenate(out_e), 4)})
 
-    pairs = (exploded.groupby(["band_id", "band_hash"])
+    pairs = (exploded.groupby("band_id")
              .map_groups(candidates, batch_format="pandas"))
     pdf = pairs.to_pandas()
     if len(pdf) == 0:
@@ -274,25 +286,36 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         })
 
     def near(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
+        """One call per block_id (4 coarse groups); inner grouping by
+        block_key vectorized, python only in colliding buckets."""
+        out_a, out_b, out_h = [], [], []
+        for _, bucket in g.groupby("block_key", sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(bucket) < 2:
+                continue
+            docs = bucket["doc_id"].to_numpy()
+            sh = bucket["simhash"].to_numpy().view(np.uint64)
+            i, j = np.triu_indices(len(docs), k=1)
+            x = sh[i] ^ sh[j]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            keep = ham <= max_hamming
+            out_a.append(docs[i][keep]); out_b.append(docs[j][keep])
+            out_h.append(ham[keep])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int64)})
-        docs = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        i, j = np.triu_indices(len(docs), k=1)
-        x = sh[i] ^ sh[j]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": docs[i][keep], "doc_b": docs[j][keep],
-                             "hamming": ham[keep]})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
     pairs = (ds.map_batches(blocks, batch_format="pyarrow")
-               .groupby(["block_id", "block_key"])
+               .groupby("block_id")
                .map_groups(near, batch_format="pandas")).to_pandas()
     if len(pairs) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
