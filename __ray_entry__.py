@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / crawl-operator families (oracle-backed)
         "lineitem_agg": relational.lineitem_agg,
         "segment_revenue": relational.segment_revenue,
+        "customer_nation_join": relational.customer_nation_join,
         "topk_orders": relational.topk_orders,
         "customers_without_big_orders": relational.customers_without_orders,
         "top2_customers_per_nation": relational.top2_customers_per_nation,
@@ -170,6 +171,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "customer_nation_join": """
+            SELECT n_name, COUNT(*) AS n_customers,
+                   ROUND(SUM(c_acctbal), 2) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice

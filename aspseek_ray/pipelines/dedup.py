@@ -54,7 +54,15 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     explode (word_hash, doc_id), self-join per word (groupby), count
     co-occurrences, then jaccard = inter / (|A| + |B| - inter). Only
     signature rows shuffle. Output (doc_a, doc_b, jaccard) with
-    doc_a < doc_b, jaccard rounded to 4."""
+    doc_a < doc_b, jaccard rounded to 4.
+
+    Scale note: high-df words make the per-word pair fan-out quadratic —
+    the standard exact fix is PREFIX FILTERING (PPJoin family): order each
+    doc's tokens rare-first and index only the first
+    floor((1 - threshold) * |d|) + 1 of them; no pair above threshold is
+    missed and hot-word groups shrink by orders of magnitude. Kept simple
+    here (oracle parity); apply the prefix index before running this at
+    100-TB document counts."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -165,6 +165,32 @@ def events_hourly(sf_dir: str) -> pa.Table:
                         _round2(t["total_value"]))
 
 
+# ------------------------------------------------ native hash join (Ray 2.49+)
+def customer_nation_join(sf_dir: str) -> pa.Table:
+    """customer ⋈ nation via Ray Data's NATIVE Dataset.join (hash-
+    partitioned on the key) — the both-sides-large join path, complementing
+    the broadcast join in segment_revenue. Output: (n_name, n_customers,
+    total_acctbal) per nation."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+
+    def widen(batch: pa.Table) -> pa.Table:  # join keys must share a type
+        return batch.set_column(0, "n_nationkey",
+                                batch["n_nationkey"].cast(pa.int32()))
+
+    joined = cust.join(nation.map_batches(widen, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=8,
+                       on=("c_nationkey",), right_on=("n_nationkey",))
+    out = (joined.groupby("n_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("c_acctbal", alias_name="total_acctbal"))).to_pandas()
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.set_column(t.schema.get_field_index("total_acctbal"),
+                        "total_acctbal", _round2(t["total_acctbal"]))
+
+
 # ---------------------------------------------------- streaming-shaped sessions
 def events_sessions(sf_dir: str, gap_s: int = 1800) -> pa.Table:
     """Session windows over the events stream (Ray Data guide
