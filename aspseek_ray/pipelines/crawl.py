@@ -11,11 +11,13 @@ loop where each frontier generation is one bounded Ray Data pipeline
 Durable state between rounds is ONLY the shard actors (checkpointed to
 Parquet per round); the Ray object store is never relied on across runs.
 
-Scale notes (SURVEY §4): the per-round scheduled set (<= budget x active
-hosts) passes through the driver for dense fetch_seq stamping — O(round
-size), not O(frontier). At 10^8+ active hosts replace the driver lexsort
-with a distributed prefix-sum over per-host counts; every other stage is
-already a data-parallel map_batches or sharded-actor call. The pages table
+Scale notes (SURVEY §4): the per-round driver work is O(S + B) — shards
+are LEX-RANGE partitioned by host (state/shard.py::shard_of_hosts), so the
+global (host-lex, pop-order) trace order equals (shard_id, shard-local
+order) and the dense fetch_seq is stamped shard-locally from S
+prefix-summed counts; shards emit bucket-tagged blocks straight into the
+object store and tiny remote concat tasks assemble one block per pages
+bucket. No scheduled row ever passes through the driver. The pages table
 (the 100-TB side) is shuffled exactly once at ingest (bucket_pages) and
 never moves again.
 """
@@ -39,9 +41,16 @@ from aspseek_ray.functions.hashing import fnv1a64_arrow
 from aspseek_ray.functions.url import host_of
 from aspseek_ray.sources.pages import BucketLookup, bucket_pages
 from aspseek_ray.stages.discover import parse_discover
-from aspseek_ray.state.shard import CrawlShard
+from aspseek_ray.state.shard import CrawlShard, host_shard_bounds, shard_of_hosts
 
 TRACE_COLS = ["fetch_seq", "round", "url", "host", "depth", "discovery_seq", "status"]
+
+
+@ray.remote
+def _concat_block(*tables: pa.Table) -> pa.Table:
+    """Assemble one pages-bucket block from the per-shard pieces (runs on a
+    worker; the driver only handles refs)."""
+    return pa.concat_tables(tables).combine_chunks()
 
 
 @dataclass
@@ -56,11 +65,6 @@ class CrawlResult:
 
     def seen_path(self) -> str:
         return str(Path(self.out_dir) / "seen")
-
-
-def _shard_of(host_hash: np.ndarray, S: int) -> np.ndarray:
-    return np.abs(np.asarray(host_hash, dtype=np.int64)) % S
-
 
 
 
@@ -149,8 +153,10 @@ class Crawler:
         self.redirects_ref = ray.put(rmap)
 
         robots = pq.read_table(f"{corpus_dir}/robots.parquet")
-        host_hashes = fnv1a64_arrow(robots["host"])
-        shard_ids = _shard_of(host_hashes, self.cfg.num_shards)
+        # lex-range host partitioning: global host order == shard-major order
+        self.host_bounds = host_shard_bounds(robots["host"].to_pylist(),
+                                             self.cfg.num_shards)
+        shard_ids = shard_of_hosts(self.host_bounds, robots["host"].to_pylist())
         cfg_json = json.dumps({
             "per_host_per_round": self.cfg.per_host_per_round,
             "max_hops": self.cfg.max_hops,
@@ -190,7 +196,7 @@ class Crawler:
             "depth": seeds["depth"],
             "discovery_seq": seeds["discovery_seq"],
         })
-        sh = _shard_of(np.asarray(cand["host_hash"], dtype=np.int64), self.cfg.num_shards)
+        sh = shard_of_hosts(self.host_bounds, hosts.to_pylist())
         ray.get([self.shards[int(s)].offer.remote(cand.filter(pa.array(sh == s)))
                  for s in np.unique(sh)])
 
@@ -206,43 +212,46 @@ class Crawler:
         self.metrics = m.get("metrics", [])
 
     # ------------------------------------------------------------------ round
-    def _pop_and_stamp(self) -> pa.Table | None:
-        pops = ray.get([s.pop_round.remote() for s in self.shards])
-        sched = pa.concat_tables([t for t in pops if t.num_rows] or pops[:1])
-        if sched.num_rows == 0:
-            return None
-        # dense fetch_seq: (host lexicographic, heap-pop order) — FIXTURES §4.1
-        # (arrow C++ sort; python-string lexsort is ~10x slower)
-        order = pa.compute.sort_indices(
-            sched, sort_keys=[("host", "ascending"), ("pop_idx", "ascending")])
-        sched = sched.take(order).combine_chunks()
+    def _pop_blocks(self) -> tuple[list | None, int]:
+        """Distributed pop -> stamp -> bucket-block assembly. The driver
+        sees only S counts and O(S x B) ObjectRefs; fetch_seq is stamped
+        shard-locally (lex-range sharding makes shard-major order the
+        global host-lex order). Returns (per-bucket block refs, n_sched)."""
+        B = self.cfg.num_page_buckets
+        counts = ray.get([s.pop_round_count.remote() for s in self.shards])
+        total = int(sum(counts))
+        if total == 0:
+            return None, 0
+        limits = list(counts)
         if self.cfg.max_docs:
             remaining = self.cfg.max_docs - self.fetch_base
-            if remaining <= 0:
-                return None
-            if sched.num_rows > remaining:
-                overflow = sched.slice(remaining)
-                sh = _shard_of(fnv1a64_arrow(overflow["host"]), self.cfg.num_shards)
-                ray.get([self.shards[int(s)].push_back.remote(
-                            overflow.filter(pa.array(sh == s)))
-                         for s in np.unique(sh)])
-                sched = sched.slice(0, remaining)
-        n = sched.num_rows
-        sched = sched.append_column(
-            "fetch_seq", pa.array(self.fetch_base + np.arange(n, dtype=np.int64)))
-        # url_hash was stamped at discovery and carried through the heaps —
-        # the driver never re-hashes
-        bucket = np.abs(np.asarray(sched["url_hash"], dtype=np.int64)) % self.cfg.num_page_buckets
-        return sched.append_column("bucket", pa.array(bucket.astype(np.int32)))
+            if remaining <= 0:  # cap already reached: return all pops to heaps
+                ray.get([s.stamp_emit.remote(0, 0, B) for s in self.shards])
+                return None, 0
+            run = 0
+            for i, c in enumerate(counts):
+                limits[i] = max(0, min(c, remaining - run))
+                run += c
+        starts = self.fetch_base + np.concatenate(
+            [[0], np.cumsum(counts[:-1], dtype=np.int64)])
+        emits = ray.get([
+            s.stamp_emit.remote(int(starts[i]), int(limits[i]), B)
+            for i, s in enumerate(self.shards)])
+        by_bucket: dict[int, list] = {}
+        for pieces in emits:
+            for b, ref in pieces:
+                by_bucket.setdefault(b, []).append(ref)
+        blocks = [refs[0] if len(refs) == 1 else _concat_block.remote(*refs)
+                  for _, refs in sorted(by_bucket.items())]
+        return blocks, int(sum(limits))
 
     def run_round(self) -> dict | None:
         t0 = time.monotonic()
-        sched = self._pop_and_stamp()
+        blocks, n_sched = self._pop_blocks()
         t_pop = time.monotonic() - t0
-        if sched is None:
+        if blocks is None:
             return None
         rnd = self.round
-        n_sched = sched.num_rows
 
         # one block per pages-bucket -> the fetch join never shuffles; the
         # whole round body (fetch -> trace part write -> discover -> offer)
@@ -254,10 +263,6 @@ class Crawler:
             shutil.rmtree(trace_round_dir)
         trace_round_dir.mkdir(parents=True)
 
-        t_split0 = time.monotonic()
-        by_bucket = [sched.filter(pa.array(np.asarray(sched["bucket"]) == b))
-                     for b in np.unique(np.asarray(sched["bucket"]))]
-        t_split = time.monotonic() - t_split0
         store_round_dir = None
         if self.cfg.write_store:
             srd = self.out / "store" / f"round={rnd}"
@@ -276,13 +281,13 @@ class Crawler:
         # the streaming executor (measured faster than an equivalent raw-
         # task fan-out: offers overlap with still-running fetch tasks).
         shards = self.shards
-        S = self.cfg.num_shards
+        bounds = self.host_bounds
 
         def offer_fn(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return pa.table({"n_candidates": pa.array([0], pa.int64()),
                                  "n_new": pa.array([0], pa.int64())})
-            sh = _shard_of(np.asarray(batch["host_hash"], dtype=np.int64), S)
+            sh = shard_of_hosts(bounds, batch["host"].to_pylist())
             refs = [shards[int(s)].offer.remote(batch.filter(pa.array(sh == s)))
                     for s in np.unique(sh)]
             n_new = int(sum(ray.get(refs)))
@@ -290,7 +295,7 @@ class Crawler:
                              "n_new": pa.array([int(n_new)], pa.int64())})
 
         t1 = time.monotonic()
-        ds = rd.from_arrow_refs([ray.put(t) for t in by_bucket])
+        ds = rd.from_arrow_refs(blocks)
         counts = (ds
                   .map_batches(stage, batch_format="pyarrow", batch_size=None,
                                zero_copy_batch=True)
@@ -314,7 +319,6 @@ class Crawler:
             "wall_sec": round(time.monotonic() - t0, 4),
             "pop_sec": round(t_pop, 4),
             "pipeline_sec": round(t_pipe, 4),
-            "split_sec": round(t_split, 4),
         }
         self.fetch_base += n_sched
         self.metrics.append(m)

@@ -3,15 +3,24 @@ MySQL `url` table unique-key seen-set + in-memory href hash in
 src/hrefs.cpp, per-server politeness bookkeeping in src/index.cpp,
 robots cache).
 
-One ``CrawlShard`` owns every host with ``host_hash % num_shards == shard_id``
-— so a host's politeness heap, its robots rules and the seen-entries of all
-its URLs are co-located on exactly one actor (url -> host is a function, so
-seen-by-url and frontier-by-host shard identically). The pool of S shards IS
-the explicit partitioning of the mutable crawl state (north_rule: 10^10-URL
-frontier = many shards across nodes; hot-host skew is bounded by the
-per-round budget; a backlogged host costs heap memory only — at 10^10-URL
-scale raise num_shards so each shard's backlog fits its node, and spill
-cold heap tails to the per-shard frontier parquet if needed).
+One ``CrawlShard`` owns a contiguous LEXICOGRAPHIC RANGE of hosts (range
+partitioning via ``shard_of_hosts`` — boundaries cut from the known host
+universe) — so a host's politeness heap, its robots rules and the
+seen-entries of all its URLs are co-located on exactly one actor (url ->
+host is a function, so seen-by-url and frontier-by-host shard identically).
+Range (not hash) partitioning makes the global trace order
+(host-lex, pop-order) equal to (shard_id, shard-local order), so the dense
+``fetch_seq`` is stamped SHARD-LOCALLY from S prefix-summed counts — the
+driver never touches row data (the round path is O(S), fully distributed).
+The pool of S shards IS the explicit partitioning of the mutable crawl
+state (north_rule: 10^10-URL frontier = many shards across nodes; hot-host
+skew is bounded by the per-round budget; a backlogged host costs heap
+memory only — at 10^10-URL scale raise num_shards so each shard's backlog
+fits its node, and spill cold heap tails to the per-shard frontier parquet
+if needed). Range-boundary skew: cut points come from the observed host
+universe (robots table); at real scale re-derive them from a frontier
+sample and migrate shard state on rebalance (snapshot -> restore with new
+bounds).
 
 Determinism contract (matches tests/ref_sim.py exactly):
   * offers for round K+1 arrive between ``pop_round`` K and K+1 and are
@@ -43,6 +52,31 @@ import pyarrow.parquet as pq
 from aspseek_ray.config import CrawlConfig
 from aspseek_ray.state.cuckoo import CuckooFilter
 
+
+def host_shard_bounds(hosts: list[str], num_shards: int) -> list[str]:
+    """S-1 lexicographic cut points over the known host universe — even
+    quantiles of the sorted distinct hosts. Hosts never seen before still
+    route deterministically (searchsorted against the cuts)."""
+    if num_shards <= 1:
+        return []
+    u = sorted(set(hosts))
+    if not u:
+        return []
+    return [u[min(len(u) - 1, (i * len(u)) // num_shards)]
+            for i in range(1, num_shards)]
+
+
+def shard_of_hosts(bounds: list[str], hosts) -> np.ndarray:
+    """Vectorized host -> shard_id under lex-range partitioning. ``hosts``
+    is any sequence of str (list / numpy object array / arrow column via
+    to_pylist). Python string comparison semantics (object dtype) so the
+    order agrees exactly with sorted() in the normative simulator."""
+    arr = np.asarray(hosts, dtype=object)
+    if not bounds:
+        return np.zeros(len(arr), dtype=np.int64)
+    return np.searchsorted(np.array(bounds, dtype=object), arr, side="right")
+
+
 class CrawlShard:
     """Instantiate as ray.remote(CrawlShard).remote(...) — plain class here
     so unit tests can drive it without a cluster."""
@@ -69,6 +103,7 @@ class CrawlShard:
         # hash (fnv1a64 everywhere) so cuckoo insert/check stay consistent.
         self.staged: dict[str, tuple[int, int, str, int]] = {}
         self.heaps: dict[str, list] = {}       # host -> [(depth, seq, url)]
+        self._popped: pa.Table | None = None   # held round slice (pop_round_count)
         self.n_offered = 0
         self.n_rejected_seen = 0
         self.n_rejected_filtered = 0
@@ -135,11 +170,12 @@ class CrawlShard:
 
     def pop_round(self) -> pa.Table:
         """Flush staging, then pop up to the per-host effective budget in
-        (depth, discovery_seq) order. Returns (host, url, depth,
-        discovery_seq, pop_idx); the driver stamps the global fetch_seq."""
+        (depth, discovery_seq) order, hosts in lexicographic order — so the
+        returned table is already in the shard-local slice of the global
+        (host-lex, pop-order) trace order."""
         self._flush()
         hosts_out, urls_out, depths_out, seqs_out, pops_out, hashes_out = [], [], [], [], [], []
-        for host in list(self.heaps.keys()):
+        for host in sorted(self.heaps.keys()):
             hp = self.heaps[host]
             if not hp:
                 del self.heaps[host]
@@ -169,6 +205,44 @@ class CrawlShard:
             }
         )
 
+    # ------------------------------------------------- distributed round path
+    def pop_round_count(self) -> int:
+        """Phase 1 of the distributed round: pop this shard's round slice
+        and HOLD it; return only its row count. The driver prefix-sums the
+        S counts (O(S) work) and calls stamp_emit with this shard's global
+        start offset — no row ever passes through the driver."""
+        self._popped = self.pop_round()
+        return self._popped.num_rows
+
+    def stamp_emit(self, start_seq: int, limit: int, num_buckets: int) -> list:
+        """Phase 2: truncate the held slice to ``limit`` rows (max_docs cap,
+        O32 — overflow rows go straight back to their heaps), stamp the
+        dense global fetch_seq = start_seq + local row index, split by
+        pages-bucket and put each piece in the object store. Returns
+        [(bucket, ObjectRef), ...] — the driver only ships refs."""
+        import ray
+
+        t = getattr(self, "_popped", None)
+        self._popped = None
+        if t is None or t.num_rows == 0:
+            return []
+        if limit < t.num_rows:
+            self.push_back(t.slice(limit))
+            t = t.slice(0, limit)
+        if t.num_rows == 0:
+            return []
+        t = t.append_column(
+            "fetch_seq",
+            pa.array(start_seq + np.arange(t.num_rows, dtype=np.int64)))
+        bucket = (np.abs(np.asarray(t["url_hash"], dtype=np.int64))
+                  % num_buckets).astype(np.int32)
+        t = t.append_column("bucket", pa.array(bucket))
+        out = []
+        for b in np.unique(bucket):
+            piece = t.filter(pa.array(bucket == b)).combine_chunks()
+            out.append((int(b), ray.put(piece)))
+        return out
+
     def push_back(self, batch: pa.Table) -> None:
         """Return urls cut by the max_docs cap to their heaps (O32)."""
         for host, url, depth, seq, uh in zip(batch["host"].to_pylist(),
@@ -197,6 +271,7 @@ class CrawlShard:
     def seen_table(self, sort: bool = True) -> pa.Table:
         from aspseek_ray.functions.hashing import fnv1a64_arrow
 
+        self._flush()  # durable seen output must not depend on checkpoint cadence
         urls = sorted(self.seen) if sort else list(self.seen)
         arr = pa.array(urls, type=pa.string())
         return pa.table({"url": arr, "url_hash": pa.array(fnv1a64_arrow(arr))})
