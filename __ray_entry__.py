@@ -101,6 +101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return revisit.recrawl_diff(f"{res.out_dir}/store",
                                     f"{corpus_for(sf_dir)}/pages.parquet")
 
+    def crawl_excerpts(sf_dir: str):
+        res = _run_crawl(sf_dir, "q_excerpts")
+        from fixtures.gen import _vocab
+
+        return search.excerpts(f"{res.out_dir}/store", tuple(_vocab()[:3]))
+
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             extract_media_features,
@@ -129,7 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.brute_topk,
         "phrase_search": search.phrase_search,
         "boolean_and_search": search.boolean_and_search,
+        "boolean_or_search": search.boolean_or_search,
+        "boolean_not_search": search.boolean_not_search,
         "tfidf_search": search.tfidf_search,
+        "quality_scores": textstats.quality_scores,
+        "language_id": textstats.language_id,
         # rows-only (non-SQL-expressible: iterative / approximate / stateful)
         "crawl_trace": crawl_trace,
         "crawl_pagerank": crawl_pagerank,
@@ -137,12 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_postings_df": crawl_postings_df,
         "crawl_status_stats": crawl_status_stats,
         "crawl_recrawl_diff": crawl_recrawl_diff,
+        "crawl_excerpts": crawl_excerpts,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dup_groups": dedup.near_dup_groups,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "lsh_topk": similarity.lsh_topk,
-        "language_id": textstats.language_id,
-        "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,
         "multimodal_features": multimodal_features,
     }
@@ -153,6 +162,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_STOP_EN_SQL = ("['" + "','".join(
+    "the and of a to in is it you that he was for on are as with his they i "
+    "at be this have from or one had by word but not what all were we when "
+    "your can said there use an each which she do how their if".split())
+    + "']")
+_STOP_DE_SQL = ("['" + "','".join(
+    "der die das und ist in zu den von mit nicht ein eine als auch es an "
+    "werden aus er hat dass sie nach wird bei um am sind noch wie einem "
+    "über einen so zum".split()) + "']")
+_STOP_FR_SQL = ("['" + "','".join(
+    "le la les de des du et est un une dans que qui pour sur avec ne se pas "
+    "plus par au il elle nous vous ils sont être cette aux ou où donc".split())
+    + "']")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -273,6 +296,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM tok WHERE word IN ('spark', 'window', 'scan')
             GROUP BY doc_id HAVING COUNT(DISTINCT word) = 3
         """,
+        "boolean_or_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok
+            WHERE word IN ('spark', 'window', 'scan')
+        """,
+        "boolean_not_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok WHERE word = 'spark'
+              AND doc_id NOT IN (SELECT doc_id FROM tok WHERE word = 'window')
+        """,
         "tfidf_search": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
             tf AS (SELECT doc_id, word, COUNT(*) AS c FROM tok
@@ -286,6 +321,48 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY tf.doc_id)
             SELECT doc_id, ROUND(score, 4) AS score FROM s
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "quality_scores": f"""
+            WITH tok AS (
+                SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks,
+                       length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                           AS n_alnum
+                FROM documents)
+            SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                   ROUND(CASE WHEN len(toks) > 0 THEN
+                         CAST(list_sum(list_transform(toks, x -> length(x)))
+                              AS DOUBLE) / len(toks) ELSE 0.0 END, 4)
+                       AS mean_token_len,
+                   ROUND(CASE WHEN len(toks) > 0 THEN
+                         CAST(len(list_filter(toks,
+                              x -> list_contains({_STOP_EN_SQL}, x)))
+                              AS DOUBLE) / len(toks) ELSE 0.0 END, 4)
+                       AS stop_ratio,
+                   ROUND(CASE WHEN len(toks) > 0 AND n_chars > 0 THEN
+                         CAST(n_alnum AS DOUBLE) / n_chars ELSE 0.0 END, 4)
+                       AS alnum_ratio
+            FROM tok
+        """,
+        "language_id": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            hits AS (
+                SELECT doc_id, len(toks) AS n,
+                       len(list_filter(toks,
+                           x -> list_contains({_STOP_EN_SQL}, x))) AS h_en,
+                       len(list_filter(toks,
+                           x -> list_contains({_STOP_DE_SQL}, x))) AS h_de,
+                       len(list_filter(toks,
+                           x -> list_contains({_STOP_FR_SQL}, x))) AS h_fr
+                FROM tok)
+            SELECT doc_id,
+                   CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+                        WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+                        WHEN h_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred,
+                   ROUND(CASE WHEN n > 0 THEN
+                         CAST(GREATEST(h_en, h_de, h_fr) AS DOUBLE) / n
+                         ELSE 0.0 END, 4) AS confidence
+            FROM hits
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

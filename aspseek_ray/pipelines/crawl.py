@@ -44,6 +44,7 @@ from aspseek_ray.stages.discover import parse_discover
 from aspseek_ray.state.shard import CrawlShard, host_shard_bounds, shard_of_hosts
 
 TRACE_COLS = ["fetch_seq", "round", "url", "host", "depth", "discovery_seq", "status"]
+_BOUNDS_SAMPLE = 200_000  # max seed urls sampled for shard-boundary weighting
 
 
 @ray.remote
@@ -153,9 +154,17 @@ class Crawler:
         self.redirects_ref = ray.put(rmap)
 
         robots = pq.read_table(f"{corpus_dir}/robots.parquet")
-        # lex-range host partitioning: global host order == shard-major order
-        self.host_bounds = host_shard_bounds(robots["host"].to_pylist(),
-                                             self.cfg.num_shards)
+        # lex-range host partitioning: global host order == shard-major
+        # order. Cut points are weighted by URL MASS (one entry per seed
+        # url, sampled above _BOUNDS_SAMPLE) so zipf host sizes balance;
+        # robots hosts (weight 1) cover unseeded hosts. Deterministic =>
+        # identical bounds on resume.
+        seed_urls = pq.read_table(f"{corpus_dir}/seeds.parquet",
+                                  columns=["url"])["url"].to_pylist()
+        stride = max(1, len(seed_urls) // _BOUNDS_SAMPLE)
+        weighted = [host_of(u) for u in seed_urls[::stride]]
+        weighted += robots["host"].to_pylist()
+        self.host_bounds = host_shard_bounds(weighted, self.cfg.num_shards)
         shard_ids = shard_of_hosts(self.host_bounds, robots["host"].to_pylist())
         cfg_json = json.dumps({
             "per_host_per_round": self.cfg.per_host_per_round,
@@ -218,7 +227,9 @@ class Crawler:
         shard-locally (lex-range sharding makes shard-major order the
         global host-lex order). Returns (per-bucket block refs, n_sched)."""
         B = self.cfg.num_page_buckets
+        t0 = time.monotonic()
         counts = ray.get([s.pop_round_count.remote() for s in self.shards])
+        self._t_counts = time.monotonic() - t0
         total = int(sum(counts))
         if total == 0:
             return None, 0
@@ -234,9 +245,11 @@ class Crawler:
                 run += c
         starts = self.fetch_base + np.concatenate(
             [[0], np.cumsum(counts[:-1], dtype=np.int64)])
+        t1 = time.monotonic()
         emits = ray.get([
             s.stamp_emit.remote(int(starts[i]), int(limits[i]), B)
             for i, s in enumerate(self.shards)])
+        self._t_emit = time.monotonic() - t1
         by_bucket: dict[int, list] = {}
         for pieces in emits:
             for b, ref in pieces:
@@ -318,6 +331,8 @@ class Crawler:
             "fetch_base": self.fetch_base,
             "wall_sec": round(time.monotonic() - t0, 4),
             "pop_sec": round(t_pop, 4),
+            "counts_sec": round(getattr(self, "_t_counts", 0.0), 4),
+            "emit_sec": round(getattr(self, "_t_emit", 0.0), 4),
             "pipeline_sec": round(t_pipe, 4),
         }
         self.fetch_base += n_sched

@@ -18,9 +18,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
-from aspseek_ray.functions.hashing import fnv1a64, fnv1a64_arrow
+from aspseek_ray.functions.hashing import content_hash64, fnv1a64, fnv1a64_arrow
 from aspseek_ray.functions.text import tokenize
 
 _MERSENNE = (1 << 61) - 1
@@ -30,12 +30,17 @@ _MERSENNE = (1 << 61) - 1
 def exact_dedup(sf_dir: str) -> pa.Table:
     """Exact content dedup (clone detection O23): hash text per batch,
     group by hash, keep min doc_id as canonical. Output
-    (canonical_id, n_docs) per distinct text."""
+    (canonical_id, n_docs) per distinct text.
+
+    Hash is per-row blake2b-64 (content_hash64) — built for KB+ bodies and
+    collision-safe at 10^9+-doc scale, unlike the short-string FNV kernel
+    (whose column-sweep also allocates O(rows x max_len) temporaries on
+    document-length input)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"],
-                         "content_hash": pa.array(fnv1a64_arrow(batch["text"]))})
+                         "content_hash": pa.array(content_hash64(batch["text"]))})
 
     from ray.data.aggregate import Count
 
@@ -49,75 +54,134 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------- word-set jaccard
-def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
-    """EXACT all-pairs word-set Jaccard >= threshold via an inverted index:
-    explode (word_hash, doc_id), self-join per word (groupby), count
-    co-occurrences, then jaccard = inter / (|A| + |B| - inter). Only
-    signature rows shuffle. Output (doc_a, doc_b, jaccard) with
-    doc_a < doc_b, jaccard rounded to 4.
+def _doc_token_hashes(text: str) -> np.ndarray:
+    """Sorted distinct fnv1a64 hashes of a document's tokens."""
+    toks = set(tokenize(text))
+    if not toks:
+        return np.empty(0, np.int64)
+    return np.unique(np.fromiter((fnv1a64(w) for w in toks), np.int64, len(toks)))
 
-    Scale note: high-df words make the per-word pair fan-out quadratic —
-    the standard exact fix is PREFIX FILTERING (PPJoin family): order each
-    doc's tokens rare-first and index only the first
-    floor((1 - threshold) * |d|) + 1 of them; no pair above threshold is
-    missed and hot-word groups shrink by orders of magnitude. Kept simple
-    here (oracle parity); apply the prefix index before running this at
-    100-TB document counts."""
+
+def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                  hot_k: int = 65536, cand_salt: int = 1024) -> pa.Table:
+    """EXACT all-pairs word-set Jaccard >= threshold via PREFIX FILTERING
+    (PPJoin/All-Pairs family — Bayardo et al. 2007, Xiao et al. 2008,
+    public algorithms). Output (doc_a, doc_b, jaccard), doc_a < doc_b,
+    jaccard rounded to 4 — identical pair set to the naive inverted-index
+    all-pairs join (prefix filtering is lossless for J >= t).
+
+    Stages (ONE data shuffle; no joins, no pair-dedup pass):
+      1. df sweep: explode distinct (word_hash, doc_id), groupby -> global
+         document frequency; only the ``hot_k`` most frequent tokens are
+         broadcast as the rare-first ORDER table (any consistent global
+         order is correct; pushing hot tokens out of prefixes is what
+         bounds candidate groups — the broadcast is O(hot_k), never
+         O(vocab) or O(corpus)).
+      2. prefix index: per doc, order tokens by (df_rank, hash) rare-first;
+         the PREFIX is the first |d| - ceil(t*|d|) + 1 tokens
+         (prefix-filtering principle: a qualifying pair shares a prefix
+         token). One index row per prefix token, carrying the doc's full
+         ordered hash blob + size + prefix length.
+      3. grouped verify: groups are salted (word_hash % cand_salt coarse
+         key, inner per-word scan) so no task sees an unbounded group.
+         Within a word's bucket: size filter (J >= t implies min size >=
+         t * max size), then each pair is verified and EMITTED EXACTLY
+         ONCE globally — only in the group of the pair's MINIMAL common
+         prefix token (so no distributed dedup is needed).
+
+    Payload note: each prefix row ships the doc's token-hash blob, i.e.
+    O(prefix_len x |d|) bytes per doc through the one shuffle — ideal for
+    web-page-sized docs; for very long documents switch to a doc_id-only
+    candidate pass + hash-join verification against a blob table, and for
+    corpus-scale near-dup use minhash_lsh_pairs (the designed scale path)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
         doc_ids, words = [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for w in set(tokenize(t)):
+            for wh in _doc_token_hashes(t):
                 doc_ids.append(d)
-                words.append(fnv1a64(w))
+                words.append(int(wh))
         return pa.table({"word_hash": pa.array(words, pa.int64()),
                          "doc_id": pa.array(doc_ids, pa.int64())})
 
-    tok = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    df_hot = (ds.map_batches(explode, batch_format="pyarrow")
+                .groupby("word_hash").aggregate(Count(alias_name="df"))
+                .sort("df", descending=True).limit(hot_k).to_pandas())
+    hot_ref = ray.put(dict(zip(df_hot["word_hash"].astype(np.int64),
+                               df_hot["df"].astype(np.int64))))
 
-    # per-doc set sizes (broadcast — one int per doc, small)
-    counts = (tok.map_batches(
-                 lambda b: pa.table({"doc_id": b["doc_id"],
-                                     "one": pa.array(np.ones(b.num_rows, np.int64))}),
-                 batch_format="pyarrow")
-              .groupby("doc_id").aggregate(Sum("one", alias_name="set_size"))
-              .to_pandas())
-    size_of = dict(zip(counts["doc_id"], counts["set_size"]))
-    size_ref = ray.put(size_of)
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        grp_c, word_c, doc_c, size_c, plen_c, blob_c = [], [], [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = _doc_token_hashes(t)
+            n = len(hs)
+            if n == 0:
+                continue
+            dfs = np.fromiter((hot.get(int(h), 1) for h in hs), np.int64, n)
+            order = np.lexsort((hs, dfs))          # rare-first, hash tiebreak
+            ordered = hs[order]
+            blob = ordered.tobytes()
+            p = n - int(np.ceil(threshold * n - 1e-9)) + 1
+            for h in ordered[:p]:
+                w = int(h)
+                grp_c.append(w % cand_salt)
+                word_c.append(w)
+                doc_c.append(d)
+                size_c.append(n)
+                plen_c.append(p)
+                blob_c.append(blob)
+        return pa.table({"grp": pa.array(grp_c, pa.int64()),
+                         "word_hash": pa.array(word_c, pa.int64()),
+                         "doc_id": pa.array(doc_c, pa.int64()),
+                         "size": pa.array(size_c, pa.int64()),
+                         "plen": pa.array(plen_c, pa.int64()),
+                         "blob": pa.array(blob_c, pa.binary())})
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].to_numpy())
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        i, j = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"doc_a": docs[i], "doc_b": docs[j]})
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        out_a, out_b, out_j = [], [], []
+        for wh, grp in g.groupby("word_hash", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(grp) < 2:
+                continue
+            docs = grp["doc_id"].to_numpy()
+            sz = grp["size"].to_numpy()
+            pl = grp["plen"].to_numpy()
+            arrs = [np.frombuffer(b, np.int64) for b in grp["blob"]]
+            w_key = (hot.get(int(wh), 1), int(wh))
+            i_idx, j_idx = np.triu_indices(len(docs), k=1)
+            keep = (np.minimum(sz[i_idx], sz[j_idx])
+                    >= threshold * np.maximum(sz[i_idx], sz[j_idx]))
+            for i, j in zip(i_idx[keep], j_idx[keep]):
+                # emit a pair only in its minimal common PREFIX token's
+                # group -> globally exactly-once, no dedup shuffle
+                common = np.intersect1d(arrs[i][:pl[i]], arrs[j][:pl[j]],
+                                        assume_unique=True)
+                kmin = min((hot.get(int(h), 1), int(h)) for h in common)
+                if kmin != w_key:
+                    continue
+                inter = np.intersect1d(arrs[i], arrs[j],
+                                       assume_unique=True).size
+                jac = inter / float(sz[i] + sz[j] - inter)
+                if jac >= threshold:
+                    out_a.append(docs[i])
+                    out_b.append(docs[j])
+                    out_j.append(round(jac, 4))
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype=np.int64),
+                             "doc_b": pd.Series(out_b, dtype=np.int64),
+                             "jaccard": pd.Series(out_j, dtype=np.float64)})
 
-    co = (tok.groupby("word_hash")
-             .map_groups(pairs_in_group, batch_format="pandas")
-             .map_batches(lambda b: pa.table({
-                 "doc_a": b["doc_a"].cast(pa.int64()),
-                 "doc_b": b["doc_b"].cast(pa.int64()),
-                 "inter": pa.array(np.ones(b.num_rows, np.int64))}),
-                 batch_format="pyarrow")
-             .groupby(["doc_a", "doc_b"])
-             .aggregate(Sum("inter", alias_name="inter")))
-
-    def score(batch: pa.Table) -> pa.Table:
-        size_map = ray.get(size_ref)
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
-        inter = batch["inter"].to_numpy().astype(np.float64)
-        sa = np.fromiter((size_map[x] for x in a), np.float64, len(a))
-        sb = np.fromiter((size_map[x] for x in b), np.float64, len(b))
-        jac = inter / (sa + sb - inter)
-        keep = jac >= threshold
-        return pa.table({"doc_a": pa.array(a[keep]),
-                         "doc_b": pa.array(b[keep]),
-                         "jaccard": pa.array(np.round(jac[keep], 4))})
-
-    out = co.map_batches(score, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    out = (ds.map_batches(prefix_rows, batch_format="pyarrow")
+             .groupby("grp").map_groups(verify_group, batch_format="pandas"))
+    pdf = out.to_pandas()
+    return pa.table({"doc_a": pa.array(pdf["doc_a"].to_numpy(), pa.int64()),
+                     "doc_b": pa.array(pdf["doc_b"].to_numpy(), pa.int64()),
+                     "jaccard": pa.array(pdf["jaccard"].to_numpy(), pa.float64())})
 
 
 # --------------------------------------------------------------- minhash-lsh
@@ -158,11 +222,18 @@ def minhash_signatures(batch: pa.Table, seeds: np.ndarray,
 
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5) -> pa.Table:
+                      threshold: float = 0.5, salt: int = 64) -> pa.Table:
     """Approximate near-dup pairs via MinHash + LSH banding: signatures per
-    batch -> explode (band_id, band_hash, doc_id) -> groupby band bucket ->
-    candidate pairs -> estimate jaccard as signature agreement, filter.
-    Output (doc_a, doc_b, est_jaccard)."""
+    batch -> explode (band_id, band_hash, doc_id) -> groupby salted band
+    bucket -> candidate pairs -> estimate jaccard as signature agreement,
+    filter. Output (doc_a, doc_b, est_jaccard).
+
+    Candidate groups are keyed (band_id, band_hash % salt): all rows of one
+    LSH bucket land in one group (identical pairs for any salt), but no
+    group exceeds ~corpus/salt signature rows — the per-task memory dial.
+    salt=64 suits the sandbox; at 10^9+ docs raise it so bands*salt groups
+    of ~fixed row count (the map_groups per-call overhead is amortized by
+    the vectorized inner bucket scan)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     seeds = _minhash_params(num_perm)
@@ -180,9 +251,11 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                 band_hashes.append(fnv1a64(chunk.tobytes()))
                 docs.append(doc_ids[i])
                 sig_blobs.append(sig.tobytes())
+        bh = np.asarray(band_hashes, np.int64)
+        grp = np.asarray(band_ids, np.int64) * salt + (bh % salt)
         return pa.table({
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
+            "grp": pa.array(grp),
+            "band_hash": pa.array(bh),
             "doc_id": pa.array(docs, pa.int64()),
             "sig": pa.array(sig_blobs, pa.binary()),
         })
@@ -190,9 +263,9 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     exploded = ds.map_batches(band_rows, batch_format="pyarrow")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per band_id (16 coarse groups, not one per bucket):
-        vectorized inner grouping by band_hash; only colliding buckets
-        (>=2 docs) cost python."""
+        """One call per salted group (bands x salt groups, not one per
+        bucket): vectorized inner grouping by band_hash; only colliding
+        buckets (>=2 docs) cost python."""
         out_a, out_b, out_e = [], [], []
         for _, bucket in g.groupby("band_hash", sort=False):
             if len(bucket) < 2:
@@ -214,7 +287,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                              "doc_b": np.concatenate(out_b),
                              "est_jaccard": np.round(np.concatenate(out_e), 4)})
 
-    pairs = (exploded.groupby("band_id")
+    pairs = (exploded.groupby("grp")
              .map_groups(candidates, batch_format="pandas"))
     pdf = pairs.to_pandas()
     if len(pdf) == 0:
@@ -269,33 +342,37 @@ def simhash64(sf_dir: str) -> pa.Table:
     return pa.concat_tables(ray.get(out.to_arrow_refs()))
 
 
-def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
+                       salt: int = 64) -> pa.Table:
     """Near-dup pairs at hamming distance <= max_hamming via 4-block LSH
     (pigeonhole: any pair within distance 3 agrees on >= 1 of 4 16-bit
-    blocks). Output (doc_a, doc_b, hamming)."""
+    blocks). Output (doc_a, doc_b, hamming).
+
+    Groups are keyed (block_id, block_key % salt) — identical pairs for any
+    salt, per-group rows bounded by ~corpus/salt (see minhash_lsh_pairs)."""
     t = simhash64(sf_dir)
     ds = rd.from_arrow(t)
 
     def blocks(batch: pa.Table) -> pa.Table:
         sh = batch["simhash"].to_numpy().view(np.uint64)
         doc = batch["doc_id"].to_numpy()
-        rows_doc, rows_block, rows_key, rows_sh = [], [], [], []
+        rows_doc, rows_grp, rows_key, rows_sh = [], [], [], []
         for bi in range(4):
             key = ((sh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
             rows_doc.append(doc)
-            rows_block.append(np.full(len(doc), bi, np.int32))
+            rows_grp.append(bi * salt + (key % salt))
             rows_key.append(key)
             rows_sh.append(sh.view(np.int64))
         return pa.table({
-            "block_id": pa.array(np.concatenate(rows_block)),
+            "grp": pa.array(np.concatenate(rows_grp)),
             "block_key": pa.array(np.concatenate(rows_key)),
             "doc_id": pa.array(np.concatenate(rows_doc)),
             "simhash": pa.array(np.concatenate(rows_sh)),
         })
 
     def near(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per block_id (4 coarse groups); inner grouping by
-        block_key vectorized, python only in colliding buckets."""
+        """One call per salted group; inner grouping by block_key
+        vectorized, python only in colliding buckets."""
         out_a, out_b, out_h = [], [], []
         for _, bucket in g.groupby("block_key", sort=False):
             if len(bucket) < 2:
@@ -323,7 +400,7 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                              "hamming": np.concatenate(out_h)})
 
     pairs = (ds.map_batches(blocks, batch_format="pyarrow")
-               .groupby("block_id")
+               .groupby("grp")
                .map_groups(near, batch_format="pandas")).to_pandas()
     if len(pairs) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -334,64 +411,82 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 
 # -------------------------------------------------- duplicate-group closure
-def connected_components(pairs: pa.Table, max_iters: int = 20) -> pa.Table:
-    """Cluster near-dup PAIRS (doc_a, doc_b) into duplicate groups via
-    iterative min-label propagation (the scalable all-groupby formulation:
-    each round every node adopts the smallest label among itself and its
-    neighbors; converges in O(diameter) rounds). Returns
-    (doc_id, group_id = min doc_id of the component) for every doc that
-    appears in a pair. Iteration count is checked — raises if not
-    converged (pathological chains need more rounds).
+def _forest_batch(batch: pa.Table) -> pa.Table:
+    """Per-block union-find -> spanning-forest edges (node, min-root of its
+    block-local component). Preserves every node and the block's
+    connectivity in <= #distinct-nodes rows — the contraction step."""
+    u = batch["u"].to_numpy()
+    v = batch["v"].to_numpy()
+    parent: dict[int, int] = {}
 
-    Scale note: each iteration is one groupby over the edge list — the
-    standard label-propagation CC. The label map covers only nodes that
-    appear in near-dup pairs (<< corpus size); at extreme pair counts,
-    replace the broadcast map with a labels Dataset joined per round."""
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(u, v):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {n: find(n) for n in parent}
+    out_u = np.fromiter(roots.values(), np.int64, len(roots))
+    out_v = np.fromiter(roots.keys(), np.int64, len(roots))
+    keep = out_u != out_v          # drop self-loops (component roots)
+    return pa.table({"u": pa.array(out_u[keep]), "v": pa.array(out_v[keep])})
+
+
+def connected_components(pairs: pa.Table, max_iters: int = 20) -> pa.Table:
+    """Cluster near-dup PAIRS (doc_a, doc_b) into duplicate groups.
+    Returns (doc_id, group_id = min doc_id of the component) for every doc
+    appearing in a pair.
+
+    Scalable hierarchical contraction (hash-bucketed union-find per
+    partition + merge — no O(nodes) driver structure, no per-iteration
+    broadcast): each level runs a union-find per BLOCK emitting that
+    block's spanning forest (connectivity-preserving, <= #block-nodes
+    rows), then repartitions into 4x fewer blocks so forests merge; levels
+    repeat until one block remains and a final in-task union-find labels
+    every node. Total work O(E log B); the only requirement is that the
+    contracted forest (one row per node appearing in pairs, minus merged
+    components) fits a single task at the last level — for dedup-pair
+    graphs (dup nodes << corpus) this holds by orders of magnitude; beyond
+    that, switch the last level to label-propagation joins."""
     if pairs.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "group_id": pa.array([], pa.int64())})
     a = pairs["doc_a"].to_numpy()
     b = pairs["doc_b"].to_numpy()
-    # undirected edge list, both directions
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})).materialize()
+    edges = rd.from_arrow(pa.table({"u": pa.array(a), "v": pa.array(b)}))
+    nb = max(1, min(16, pairs.num_rows // 65536))
+    edges = edges.repartition(nb)
+    levels = 0
+    while nb > 1:
+        edges = edges.map_batches(_forest_batch, batch_format="pyarrow",
+                                  batch_size=None)
+        nb = max(1, nb // 4)
+        edges = edges.repartition(nb).materialize()
+        levels += 1
+        if levels > max_iters:  # unreachable: nb strictly shrinks
+            raise RuntimeError("contraction did not converge")
 
-    # label(node) starts as node id
-    nodes = np.unique(src)
-    labels = {int(n): int(n) for n in nodes}
-    for _ in range(max_iters):
-        lab_ref = ray.put(labels)
+    def label_all(batch: pa.Table) -> pa.Table:
+        f = _forest_batch(batch)          # exact roots of the final forest
+        doc = np.concatenate([f["v"].to_numpy(), f["u"].to_numpy()])
+        grp = np.concatenate([f["u"].to_numpy(), f["u"].to_numpy()])
+        # roots label themselves; dedupe (a root appears once per child)
+        order = np.argsort(doc, kind="stable")
+        doc, grp = doc[order], grp[order]
+        keep = np.ones(len(doc), dtype=bool)
+        keep[1:] = doc[1:] != doc[:-1]
+        return pa.table({"doc_id": pa.array(doc[keep]),
+                         "group_id": pa.array(grp[keep])})
 
-        def propose(batch: pa.Table) -> pa.Table:
-            lab = ray.get(lab_ref)
-            s = batch["src"].to_numpy()
-            d = batch["dst"].to_numpy()
-            prop = np.fromiter((lab[int(x)] for x in s), np.int64, len(s))
-            return pa.table({"node": pa.array(d), "label": pa.array(prop)})
-
-        agg = (edges.map_batches(propose, batch_format="pyarrow")
-               .groupby("node").aggregate(Min("label", alias_name="label"))
-               ).to_pandas()
-        changed = False
-        for n, l in zip(agg["node"], agg["label"]):
-            n, l = int(n), int(l)
-            if l < labels[n]:
-                labels[n] = l
-                changed = True
-        # pointer doubling (label-of-label) => O(log diameter) rounds
-        for n in labels:
-            ln = labels[n]
-            if labels.get(ln, ln) < ln:
-                labels[n] = labels[ln]
-                changed = True
-        if not changed:
-            break
-    else:
-        raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
-    out_nodes = sorted(labels)
-    return pa.table({"doc_id": pa.array(out_nodes, pa.int64()),
-                     "group_id": pa.array([labels[n] for n in out_nodes], pa.int64())})
+    out = edges.map_batches(label_all, batch_format="pyarrow",
+                            batch_size=None)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return t.sort_by("doc_id")
 
 
 def near_dup_groups(sf_dir: str, threshold: float = 0.5) -> pa.Table:

@@ -35,9 +35,12 @@ NUM_WORD_BUCKETS = 64
 
 def build_postings(pages_path: str, out_dir: str | None = None,
                    drop_stopwords: bool = True) -> rd.Dataset:
-    """pages -> postings (word, word_bucket, doc_seq, positions). doc_seq =
-    row order of the pages table (warc_ts ordering). Streams straight to
-    partitioned parquet when out_dir is given."""
+    """pages -> postings (word, word_bucket, doc_seq, positions). doc_seq
+    is the DOC ID: fnv1a64(url) — a content-independent, globally
+    consistent 64-bit id assignable with no coordination (NOT crawl/warc
+    row order); posting lists are sorted by this id, which is all the
+    merge/intersection operators need. Streams straight to partitioned
+    parquet when out_dir is given."""
     ds = rd.read_parquet(pages_path, columns=["url", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -71,19 +74,32 @@ def build_postings(pages_path: str, out_dir: str | None = None,
 
 def merge_postings(postings: rd.Dataset) -> rd.Dataset:
     """Delta→main merge (O21): one row per word with doc-sorted postings.
-    Grouped by word (bucket partitioning keeps the shuffle local per
-    bucket at scale)."""
+    Grouped by word_bucket — one map_groups call per BUCKET (64 calls,
+    not one per vocabulary word); the per-word merge inside is a single
+    sort + numpy boundary split, no per-word pandas calls."""
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_seq")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["word", "doc_seq"], kind="mergesort")
+        w = g["word"].to_numpy()
+        if len(w) == 0:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "doc_seqs": pd.Series([], dtype=object),
+                                 "positions": pd.Series([], dtype=object)})
+        bounds = np.nonzero(w[1:] != w[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(w)]])
+        seqs = np.split(g["doc_seq"].to_numpy(), bounds)
+        poss = np.split(g["positions"].to_numpy(), bounds)
         return pd.DataFrame({
-            "word": [g["word"].iloc[0]],
-            "df": np.array([len(g)], np.int64),
-            "doc_seqs": [g["doc_seq"].to_list()],
-            "positions": [g["positions"].to_list()],
+            "word": w[starts],
+            "df": (ends - starts).astype(np.int64),
+            "doc_seqs": [s.tolist() for s in seqs],
+            "positions": [p.tolist() for p in poss],
         })
 
-    return postings.groupby("word").map_groups(merge, batch_format="pandas")
+    return postings.groupby("word_bucket").map_groups(
+        merge_bucket, batch_format="pandas")
 
 
 def clone_groups(pages_path: str) -> pa.Table:
@@ -133,23 +149,37 @@ def extract_link_edges(pages_path: str) -> rd.Dataset:
 
 
 def pagerank(pages_path: str, iterations: int = 10, damping: float = 0.85,
-             ndigits: int = 6) -> pa.Table:
+             ndigits: int = 6, broadcast_max_nodes: int = 5_000_000) -> pa.Table:
     """Iterative PageRank over the corpus link graph (O28; reference
-    src/ranks.cpp). Per iteration: broadcast the rank vector (ray.put),
-    per-batch partial contributions (numpy bincount), one small groupby —
-    the edge set never reshuffles. Dangling mass is redistributed
-    uniformly. Output (url, rank) rounded to ``ndigits``.
+    src/ranks.cpp). Two physical plans behind one semantic (identical
+    ranks, validated by test_pagerank_paths_agree):
 
-    Scale note: the broadcast rank vector is O(#nodes) — at 10^10 nodes
-    switch to the bucketed edges⋈ranks join keyed by dst_hash (same code
-    shape, keyed shuffle instead of broadcast); documented tradeoff."""
+    * <= broadcast_max_nodes: the rank vector is broadcast per iteration
+      (ray.put) and contributions are per-batch numpy bincount partials —
+      the edge set never reshuffles. Right for graphs whose rank vector
+      fits comfortably in every worker (a float per node).
+    * beyond: fully keyed path — no driver node list, no O(n) broadcast:
+      per iteration edges ⋈ ranks (hash join on src) -> per-batch partial
+      (dst, mass) -> groupby(dst) sum -> join back to the node table.
+      Everything is a Dataset keyed on url; only the scalar dangling mass
+      reaches the driver.
+
+    Dangling mass is redistributed uniformly. Output (url, rank) rounded
+    to ``ndigits``."""
+    n = rd.read_parquet(pages_path, columns=["url"]).count()
+    if n <= broadcast_max_nodes:
+        return _pagerank_broadcast(pages_path, n, iterations, damping, ndigits)
+    return _pagerank_joined(pages_path, n, iterations, damping, ndigits)
+
+
+def _pagerank_broadcast(pages_path: str, n: int, iterations: int,
+                        damping: float, ndigits: int) -> pa.Table:
     edges = extract_link_edges(pages_path).materialize()
 
     # node universe: all urls in pages (rank is defined over crawled docs)
     urls = rd.read_parquet(pages_path, columns=["url"])
     nodes = sorted(pa.concat_tables(ray.get(urls.to_arrow_refs()))["url"].to_pylist())
     idx_of = {u: i for i, u in enumerate(nodes)}
-    n = len(nodes)
     idx_ref = ray.put(idx_of)
 
     def to_ids(batch: pa.Table) -> pa.Table:
@@ -163,10 +193,11 @@ def pagerank(pages_path: str, iterations: int = 10, damping: float = 0.85,
 
     id_edges = edges.map_batches(to_ids, batch_format="pyarrow").materialize()
 
-    # out-degree per node (once)
+    # out-degree per node: distributed count, O(n) result
     deg = np.zeros(n, dtype=np.int64)
-    for b in id_edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        np.add.at(deg, b["src"].to_numpy(), 1)
+    degp = (id_edges.groupby("src").aggregate(Count(alias_name="c"))).to_pandas()
+    if len(degp):
+        deg[degp["src"].to_numpy()] = degp["c"].to_numpy()
 
     ranks = np.full(n, 1.0 / n)
     deg_safe = np.maximum(deg, 1)
@@ -191,6 +222,90 @@ def pagerank(pages_path: str, iterations: int = 10, damping: float = 0.85,
 
     return pa.table({"url": pa.array(nodes, pa.string()),
                      "rank": pa.array(np.round(ranks, ndigits))})
+
+
+def _pagerank_joined(pages_path: str, n: int, iterations: int,
+                     damping: float, ndigits: int,
+                     num_partitions: int | None = None) -> pa.Table:
+    """Keyed-join PageRank — no driver node list, no O(n) broadcast."""
+    from aspseek_ray.runtime import join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions(16)
+    nodes = rd.read_parquet(pages_path, columns=["url"])
+
+    # edges restricted to crawled nodes on both endpoints (semi joins)
+    raw = extract_link_edges(pages_path)
+    src_nodes = nodes.map_batches(
+        lambda b: pa.table({"src": b["url"]}), batch_format="pyarrow")
+    dst_nodes = nodes.map_batches(
+        lambda b: pa.table({"dst": b["url"]}), batch_format="pyarrow")
+    edges = (raw.join(src_nodes, join_type="left_semi",
+                      num_partitions=num_partitions, on=("src",))
+                .join(dst_nodes, join_type="left_semi",
+                      num_partitions=num_partitions, on=("dst",))
+                .materialize())
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="out_deg"))
+    base = (nodes.map_batches(lambda b: pa.table({"src": b["url"]}),
+                              batch_format="pyarrow")
+                 .join(deg, join_type="left_outer",
+                       num_partitions=num_partitions, on=("src",))
+                 .map_batches(lambda b: pa.table({
+                     "url": b["src"],
+                     "out_deg": pc.fill_null(b["out_deg"].cast(pa.int64()), 0)}),
+                     batch_format="pyarrow")
+                 .materialize())  # (url, out_deg) — the per-iteration spine
+
+    rank0 = 1.0 / n
+    ranks = base.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, rank0))),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        dangling = (ranks.map_batches(
+            lambda b: pa.table({"d": pa.array([float(
+                pc.sum(pc.if_else(pc.equal(b["out_deg"], 0), b["rank"],
+                                  pa.scalar(0.0))).as_py() or 0.0)])}),
+            batch_format="pyarrow").sum("d"))
+
+        weights = ranks.map_batches(
+            lambda b: pa.table({
+                "src": b["url"],
+                "w": pc.divide(b["rank"],
+                               pc.max_element_wise(
+                                   b["out_deg"].cast(pa.float64()), 1.0))}),
+            batch_format="pyarrow")
+        mass = (edges.join(weights, join_type="inner",
+                           num_partitions=num_partitions, on=("src",))
+                     .map_batches(lambda b: pa.table({"url": b["dst"],
+                                                      "mass": b["w"]}),
+                                  batch_format="pyarrow")
+                     .groupby("url").aggregate(Sum("mass", alias_name="mass")))
+        add = (1 - damping) / n + damping * dangling / n
+
+        def apply_rank(b: pa.Table, add=add) -> pa.Table:
+            m = pc.fill_null(b["mass"].cast(pa.float64()), 0.0)
+            rank = pc.add(pc.multiply(m, pa.scalar(damping)), pa.scalar(add))
+            return pa.table({"url": b["url_r"] if "url_r" in b.schema.names
+                             else b["url"],
+                             "out_deg": b["out_deg"], "rank": rank})
+
+        ranks = (base.map_batches(lambda b: pa.table({"url": b["url"],
+                                                      "out_deg": b["out_deg"]}),
+                                  batch_format="pyarrow")
+                     .join(mass, join_type="left_outer",
+                           num_partitions=num_partitions, on=("url",))
+                     .map_batches(apply_rank, batch_format="pyarrow")
+                     .materialize())
+
+    out = ranks.map_batches(
+        lambda b: pa.table({"url": b["url"],
+                            "rank": pc.round(b["rank"], ndigits=ndigits)}),
+        batch_format="pyarrow")
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return t.sort_by("url")
 
 
 def crawl_status_stats(trace: pa.Table) -> pa.Table:

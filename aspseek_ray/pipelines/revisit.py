@@ -43,46 +43,53 @@ def batch_i64(col) -> pa.ChunkedArray | pa.Array:
     return col.cast(pa.int64()) if col.type != pa.int64() else col
 
 
-def recrawl_diff(store_dir: str, pages_path: str, num_buckets: int = 16) -> pa.Table:
-    """Diff the previous crawl's store (url, text was derived from html at
-    fetch time; we keep url_hash + the stored text) against the CURRENT
-    pages table. Distributed: both sides hashed per batch; join on url via
-    the same bucketed pattern as the fetch join. Returns
-    (url, change) with change in {unchanged, modified, gone}.
+def recrawl_diff(store_dir: str, pages_path: str,
+                 num_buckets: int | None = None) -> pa.Table:
+    """Diff the previous crawl's store (url, text extracted at fetch time)
+    against the CURRENT pages table. Fully distributed: both sides reduce
+    to (url, hash) rows inside map_batches, then ONE hash-partitioned
+    full-outer join on url classifies every stored url — no driver-side
+    map of the store (the store is O(crawl), not a dim table). Returns
+    (url, change) with change in {unchanged, modified, gone}; urls never
+    crawled before (right-only rows) are not part of the revisit diff.
 
     The comparison key is the extracted-text hash — the reference compares
     body checksums (O10); text-level comparison additionally ignores
     markup-only churn, which is what an index cares about."""
-    import pyarrow.dataset as pads
+    from aspseek_ray.runtime import join_partitions
 
-    store = pads.dataset(store_dir, format="parquet", partitioning=None)
-    old = store.to_table(columns=["url", "text"])
-    old_hash = content_hash64(old["text"])
-    old_map_ref = ray.put(dict(zip(old["url"].to_pylist(), old_hash.tolist())))
+    if num_buckets is None:
+        num_buckets = join_partitions(16)
+    old = rd.read_parquet(store_dir, columns=["url", "text"])
+    new = rd.read_parquet(pages_path, columns=["url", "text"])
 
-    ds = rd.read_parquet(pages_path, columns=["url", "text"])
+    def hash_side(col_out: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"url": batch["url"],
+                             col_out: pa.array(content_hash64(batch["text"]))})
+        return f
 
-    def diff(batch: pa.Table) -> pa.Table:
-        old_map = ray.get(old_map_ref)
-        urls = batch["url"].to_pylist()
-        new_hash = content_hash64(batch["text"])
-        out_urls, out_change = [], []
-        for u, nh in zip(urls, new_hash):
-            oh = old_map.get(u)
-            if oh is None:
-                continue  # never crawled — not part of the revisit diff
-            out_urls.append(u)
-            out_change.append("unchanged" if oh == nh else "modified")
-        return pa.table({"url": pa.array(out_urls, pa.string()),
-                         "change": pa.array(out_change, pa.string())})
+    joined = (old.map_batches(hash_side("old_hash"), batch_format="pyarrow")
+                 .join(new.map_batches(hash_side("new_hash"),
+                                       batch_format="pyarrow"),
+                       join_type="full_outer", num_partitions=num_buckets,
+                       on=("url",)))
 
-    parts = ray.get(ds.map_batches(diff, batch_format="pyarrow").to_arrow_refs())
-    diffed = pa.concat_tables([t for t in parts if t.num_rows]
-                              or [pa.table({"url": pa.array([], pa.string()),
-                                            "change": pa.array([], pa.string())})])
-    # gone = stored urls absent from the current pages table
-    present = set(diffed["url"].to_pylist())
-    gone = [u for u in old["url"].to_pylist() if u not in present]
-    gone_t = pa.table({"url": pa.array(gone, pa.string()),
-                       "change": pa.array(["gone"] * len(gone), pa.string())})
-    return pa.concat_tables([diffed, gone_t])
+    def classify(batch: pa.Table) -> pa.Table:
+        oh = batch["old_hash"]
+        nh = batch["new_hash"]
+        known = pc.is_valid(oh)          # right-only rows: never crawled
+        batch = batch.filter(known)
+        oh, nh = batch["old_hash"], batch["new_hash"]
+        gone = pc.is_null(nh).to_numpy(zero_copy_only=False)
+        same = pc.equal(oh, nh).fill_null(False).to_numpy(zero_copy_only=False)
+        change = np.where(gone, "gone", np.where(same, "unchanged", "modified"))
+        return pa.table({"url": batch["url"],
+                         "change": pa.array(change.tolist(), pa.string())})
+
+    out = joined.map_batches(classify, batch_format="pyarrow")
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "change": pa.array([], pa.string())})
+    return pa.concat_tables(parts)

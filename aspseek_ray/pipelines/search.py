@@ -1,11 +1,21 @@
-"""Search-side relational core (SURVEY.md §3.2 searchd: src/qparser.cpp /
+"""Search-side query core (SURVEY.md §3.2 searchd: src/qparser.cpp /
 src/search.cpp / src/results.cpp — boolean & phrase matching over postings,
 tf·idf-flavored ranking, top-k). The daemon/socket surface is out of the
-flagship scope; the QUERY SEMANTICS are rebuilt as Dataset pipelines over
-the documents table with exact DuckDB oracles.
+flagship scope; the QUERY SEMANTICS are rebuilt over the inverted index the
+engine itself builds (index_products.build-postings shape), with exact
+DuckDB oracles.
+
+Queries READ THE INDEX, not the raw text: the postings parquet is
+partitioned by word_bucket, so a query touches only its terms' bucket
+partitions (word-pruned row filter inside) — at corpus scale this is the
+difference between a top-k in milliseconds and a full-corpus rescan. The
+index for a documents table is built once and cached on disk keyed by the
+source file identity (the delta/main merge story of SURVEY O21 covers
+incremental refresh).
 
 Pinned semantics (tokenizer = functions/text.py::tokenize):
-  * boolean AND: doc contains every term;
+  * boolean AND: doc contains every term; OR: any term; NOT: include term
+    present and exclude term absent (qparser.cpp boolean grammar, O27);
   * phrase "w1 w2": exists position p with token[p]==w1, token[p+1]==w2
     (reference phrase-position check, O27);
   * ranked: score(d) = sum_t tf(t,d) * ln(N / df(t)) over the query terms,
@@ -15,95 +25,250 @@ Pinned semantics (tokenizer = functions/text.py::tokenize):
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
+import os
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
+from aspseek_ray.functions.hashing import fnv1a64, fnv1a64_arrow
 from aspseek_ray.functions.text import tokenize
+
+NUM_WORD_BUCKETS = 64  # must match the build below (index_products uses 64 too)
 
 DEFAULT_PHRASE = ("scan", "slow")
 DEFAULT_TERMS = ("spark", "window", "scan")
 
 
-def phrase_search(sf_dir: str, phrase: tuple[str, str] = DEFAULT_PHRASE) -> pa.Table:
-    """doc_ids whose token stream contains the two-word phrase adjacently
-    (positions check — the reference's phrase operator)."""
-    w1, w2 = phrase
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+# ------------------------------------------------------------- index build
+def _ensure_doc_postings(sf_dir: str) -> tuple[str, int]:
+    """Build (once, disk-cached by source identity) the word_bucket-
+    partitioned postings index for the documents table: rows
+    (word, word_bucket, doc_seq=doc_id, positions). No stopword dropping —
+    the query layer decides. Returns (postings_dir, n_docs)."""
+    doc_path = f"{sf_dir}/documents.parquet"
+    st = os.stat(doc_path)
+    key = hashlib.blake2s(
+        f"{Path(doc_path).resolve()}:{st.st_size}:{int(st.st_mtime)}".encode(),
+        digest_size=8).hexdigest()
+    out = Path("/tmp/aspseek_ray_postings") / key
+    manifest = out / "manifest.json"
+    if manifest.exists():
+        return str(out), json.loads(manifest.read_text())["n_docs"]
 
-    def match(batch: pa.Table) -> pa.Table:
-        keep = []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = tokenize(t)
-            if any(a == w1 and b == w2 for a, b in zip(toks, toks[1:])):
-                keep.append(d)
-        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
+    n_docs = ds.count()
 
-    out = ds.map_batches(match, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    def explode(batch: pa.Table) -> pa.Table:
+        words, docs, positions = [], [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            pos_of: dict[str, list[int]] = {}
+            for p, w in enumerate(tokenize(text)):
+                pos_of.setdefault(w, []).append(p)
+            for w, ps in pos_of.items():
+                words.append(w)
+                docs.append(int(d))
+                positions.append(ps)
+        warr = pa.array(words, pa.string())
+        bucket = np.abs(fnv1a64_arrow(warr)) % NUM_WORD_BUCKETS
+        return pa.table({
+            "word": warr,
+            "word_bucket": pa.array(bucket.astype(np.int32)),
+            "doc_seq": pa.array(docs, pa.int64()),
+            "positions": pa.array(positions, pa.list_(pa.int32())),
+        })
+
+    # build into a pid-unique dir, atomic-rename into place (concurrent
+    # builders race benignly: first rename wins, losers discard)
+    build = Path(f"{out}.tmp{os.getpid()}")
+    build.mkdir(parents=True, exist_ok=True)
+    (ds.map_batches(explode, batch_format="pyarrow")
+       .write_parquet(str(build), partition_cols=["word_bucket"]))
+    (build / "manifest.json").write_text(json.dumps({"n_docs": n_docs}))
+    try:
+        build.rename(out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)  # another builder won
+    return str(out), n_docs
+
+
+def _term_postings(sf_dir: str, terms: tuple[str, ...]) -> tuple[pa.Table, int]:
+    """Fetch the posting rows of exactly ``terms`` — reads ONLY the terms'
+    word_bucket partitions with a word-pruned row filter (the searchd
+    cache.cpp role: query cost scales with posting-list size, not corpus
+    size). Returns ((word, doc_seq, positions) table, n_docs)."""
+    pdir, n_docs = _ensure_doc_postings(sf_dir)
+    buckets = sorted({int(np.abs(fnv1a64(w)) % NUM_WORD_BUCKETS) for w in terms})
+    paths = []
+    for b in buckets:
+        d = Path(pdir) / f"word_bucket={b}"
+        if d.exists():
+            paths.extend(sorted(str(f) for f in d.glob("*.parquet")))
+    if not paths:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "doc_seq": pa.array([], pa.int64()),
+                         "positions": pa.array([], pa.list_(pa.int32()))}), n_docs
+    ds = rd.read_parquet(paths, columns=["word", "doc_seq", "positions"],
+                         filter=pc.field("word").isin(list(terms)))
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "doc_seq": pa.array([], pa.int64()),
+                         "positions": pa.array([], pa.list_(pa.int32()))}), n_docs
+    return pa.concat_tables(parts).combine_chunks(), n_docs
+
+
+def _doc_sets(post: pa.Table) -> dict[str, np.ndarray]:
+    """word -> sorted doc_seq array from a term-postings table."""
+    out: dict[str, np.ndarray] = {}
+    if post.num_rows == 0:
+        return out
+    df = post.select(["word", "doc_seq"]).to_pandas()
+    for w, g in df.groupby("word", sort=False):
+        out[w] = np.sort(g["doc_seq"].to_numpy())
+    return out
+
+
+# ------------------------------------------------------------------ queries
+def phrase_search(sf_dir: str,
+                  phrase: tuple[str, ...] = DEFAULT_PHRASE) -> pa.Table:
+    """doc_ids whose token stream contains the n-word phrase contiguously —
+    postings-positions check: intersect the terms' doc-sorted lists, then
+    require a position p with word_i at p+i for every i (reference phrase
+    operator, qparser.cpp n-word phrases)."""
+    words = tuple(phrase)
+    assert len(words) >= 2
+    post, _ = _term_postings(sf_dir, tuple(set(words)))
+    if post.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    pos_of: dict[tuple[str, int], np.ndarray] = {}
+    for w, d, ps in zip(post["word"].to_pylist(), post["doc_seq"].to_pylist(),
+                        post["positions"].to_pylist()):
+        pos_of[(w, d)] = np.asarray(ps, np.int64)
+    doc_lists = []
+    for w in set(words):
+        doc_lists.append(np.sort(np.array([d for (x, d) in pos_of if x == w],
+                                          np.int64)))
+    both = doc_lists[0]
+    for dl in doc_lists[1:]:
+        both = np.intersect1d(both, dl, assume_unique=True)
+    keep = []
+    for d in both:
+        d = int(d)
+        starts = pos_of[(words[0], d)]
+        for i, w in enumerate(words[1:], start=1):
+            starts = starts[np.isin(starts + i, pos_of[(w, d)])]
+            if starts.size == 0:
+                break
+        else:
+            keep.append(d)
+    return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
 
 def boolean_and_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS) -> pa.Table:
-    """doc_ids containing EVERY query term as a token (posting-list AND,
-    O27 — token-exact, unlike the substring variant in relational.py)."""
-    term_set = frozenset(terms)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    """doc_ids containing EVERY query term — posting-list AND intersection
+    over doc-sorted lists (O27)."""
+    post, _ = _term_postings(sf_dir, terms)
+    sets = _doc_sets(post)
+    if any(t not in sets for t in terms):
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    acc: np.ndarray | None = None
+    for t in sorted(set(terms), key=lambda t: len(sets[t])):  # rarest first
+        acc = sets[t] if acc is None else np.intersect1d(acc, sets[t],
+                                                         assume_unique=True)
+    return pa.table({"doc_id": pa.array(np.sort(acc), pa.int64())})
 
-    def match(batch: pa.Table) -> pa.Table:
-        keep = []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if term_set <= set(tokenize(t)):
-                keep.append(d)
-        return pa.table({"doc_id": pa.array(keep, pa.int64())})
 
-    out = ds.map_batches(match, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+def boolean_or_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS) -> pa.Table:
+    """doc_ids containing ANY query term — posting-list OR union (O27,
+    qparser.cpp boolean grammar)."""
+    post, _ = _term_postings(sf_dir, terms)
+    sets = _doc_sets(post)
+    if not sets:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    acc = np.unique(np.concatenate(list(sets.values())))
+    return pa.table({"doc_id": pa.array(acc, pa.int64())})
+
+
+def boolean_not_search(sf_dir: str, include: str = "spark",
+                       exclude: str = "window") -> pa.Table:
+    """doc_ids containing ``include`` but NOT ``exclude`` — posting-list
+    difference (O27 NOT operator)."""
+    post, _ = _term_postings(sf_dir, (include, exclude))
+    sets = _doc_sets(post)
+    inc = sets.get(include, np.empty(0, np.int64))
+    exc = sets.get(exclude, np.empty(0, np.int64))
+    out = np.setdiff1d(inc, exc, assume_unique=True)
+    return pa.table({"doc_id": pa.array(np.sort(out), pa.int64())})
+
+
+def excerpts(store_dir: str, terms: tuple[str, ...],
+             width: int = 40) -> pa.Table:
+    """Cached-copy excerpt slicing (the ``stored`` daemon's excerpts.cpp
+    role, SURVEY S8): read the crawl's zstd store parquet back and emit,
+    per stored page matching any query term, a +-width-char snippet around
+    the first match. Distributed map over the store partitions; only
+    matching rows leave the stage. Output (url, term, excerpt)."""
+    import re
+
+    pats = {t: re.compile(r"(?<![a-z0-9])" + re.escape(t) + r"(?![a-z0-9])")
+            for t in terms}
+
+    def slice_batch(batch: pa.Table) -> pa.Table:
+        out_u, out_t, out_e = [], [], []
+        for u, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            low = (text or "").lower()
+            for t, pat in pats.items():
+                m = pat.search(low)
+                if m is None:
+                    continue
+                lo = max(0, m.start() - width)
+                hi = min(len(text), m.end() + width)
+                out_u.append(u)
+                out_t.append(t)
+                out_e.append(text[lo:hi])
+        return pa.table({"url": pa.array(out_u, pa.string()),
+                         "term": pa.array(out_t, pa.string()),
+                         "excerpt": pa.array(out_e, pa.string())})
+
+    ds = rd.read_parquet(store_dir, columns=["url", "text"])
+    out = ds.map_batches(slice_batch, batch_format="pyarrow")
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "term": pa.array([], pa.string()),
+                         "excerpt": pa.array([], pa.string())})
+    return pa.concat_tables(parts).sort_by([("url", "ascending"),
+                                            ("term", "ascending")])
 
 
 def tfidf_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
                  k: int = 10) -> pa.Table:
     """Top-k docs by sum_t tf(t,d)*ln(N/df(t)) over the query terms
-    (deterministic tiebreak doc_id). Distributed: per-batch partial
-    (doc, term, tf) + (term, partial_df) rows, grouped sums, then a tiny
-    driver-side scoring of only the matching docs."""
-    term_set = frozenset(terms)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    n_docs = ds.count()
-
-    def partials(batch: pa.Table) -> pa.Table:
-        doc_col, term_col, tf_col = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            counts: dict[str, int] = {}
-            for w in tokenize(t):
-                if w in term_set:
-                    counts[w] = counts.get(w, 0) + 1
-            for w, c in counts.items():
-                doc_col.append(d)
-                term_col.append(w)
-                tf_col.append(c)
-        return pa.table({"doc_id": pa.array(doc_col, pa.int64()),
-                         "term": pa.array(term_col, pa.string()),
-                         "tf": pa.array(tf_col, pa.int64())})
-
-    tf = ds.map_batches(partials, batch_format="pyarrow").materialize()
-    if tf.count() == 0:  # no term matches anywhere (empty groupbys lose schema)
+    (deterministic tiebreak doc_id), computed from the index: tf =
+    |positions| per posting row, df = posting-list length — the scoring
+    inputs searchd keeps alongside each list (O24/O30)."""
+    post, n_docs = _term_postings(sf_dir, tuple(set(terms)))
+    if post.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    df_pdf = (tf.map_batches(
-                  lambda b: pa.table({"term": b["term"],
-                                      "one": pa.array(np.ones(b.num_rows, np.int64))}),
-                  batch_format="pyarrow")
-              .groupby("term").aggregate(Sum("one", alias_name="df"))).to_pandas()
-    idf = {t: math.log(n_docs / d) for t, d in zip(df_pdf["term"], df_pdf["df"])}
-
-    tf_pdf = tf.to_pandas()  # rows = matching (doc, term) pairs only — small
-    tf_pdf["w"] = tf_pdf["tf"] * tf_pdf["term"].map(idf)
-    scores = tf_pdf.groupby("doc_id", as_index=False)["w"].sum()
-    scores = scores.sort_values(["w", "doc_id"], ascending=[False, True]).head(k)
-    return pa.table({"doc_id": pa.array(scores["doc_id"].to_numpy(), pa.int64()),
+    df_pdf = post.select(["word", "doc_seq"]).to_pandas()
+    tf = pc.list_value_length(post["positions"]).to_numpy(zero_copy_only=False)
+    df_pdf["tf"] = tf.astype(np.int64)
+    df_of = df_pdf.groupby("word")["doc_seq"].count()
+    idf = {w: math.log(n_docs / d) for w, d in df_of.items()}
+    df_pdf["w"] = df_pdf["tf"] * df_pdf["word"].map(idf)
+    scores = df_pdf.groupby("doc_seq", as_index=False)["w"].sum()
+    scores = scores.sort_values(["w", "doc_seq"],
+                                ascending=[False, True]).head(k)
+    return pa.table({"doc_id": pa.array(scores["doc_seq"].to_numpy(), pa.int64()),
                      "score": pa.array(np.round(scores["w"].to_numpy(), 4))})

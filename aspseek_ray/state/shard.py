@@ -54,12 +54,17 @@ from aspseek_ray.state.cuckoo import CuckooFilter
 
 
 def host_shard_bounds(hosts: list[str], num_shards: int) -> list[str]:
-    """S-1 lexicographic cut points over the known host universe — even
-    quantiles of the sorted distinct hosts. Hosts never seen before still
-    route deterministically (searchsorted against the cuts)."""
+    """S-1 lexicographic cut points: even quantiles of the sorted input
+    WITH multiplicity — pass hosts weighted by expected URL mass (e.g. one
+    entry per seed URL) so web-scale host-size skew (zipf: a handful of
+    hosts owning most URLs) is balanced across shards, not just the host
+    COUNT. A host above 1/S of total mass yields repeated cut values (its
+    neighbors' shards go empty) — that host's work is irreducibly serial
+    under per-host politeness anyway. Hosts never seen before still route
+    deterministically (searchsorted against the cuts)."""
     if num_shards <= 1:
         return []
-    u = sorted(set(hosts))
+    u = sorted(hosts)
     if not u:
         return []
     return [u[min(len(u) - 1, (i * len(u)) // num_shards)]
@@ -92,11 +97,24 @@ class CrawlShard:
         # robots: host -> (tuple rules, delay_ms); only rows for my hosts are
         # passed in (pre-partitioned), loaded once per actor (T3).
         self.robots: dict[str, tuple[tuple[str, ...], int]] = {}
+        # offer() fast path: '?'-free Disallow rules check as a plain
+        # str.startswith(tuple) on the url's path+query slice (paths can't
+        # contain '?', so equivalence with urlsplit().path is exact); rules
+        # WITH '?' keep the urlsplit fallback.
+        self._robots_clean: dict[str, tuple[str, ...]] = {}
+        self._robots_dirty: dict[str, tuple[str, ...]] = {}
         if robots_rows is not None:
             for h, r, d in zip(robots_rows["host"].to_pylist(),
                                robots_rows["rules"].to_pylist(),
                                robots_rows["crawl_delay_ms"].to_pylist()):
-                self.robots[h] = (tuple(r or ()), int(d or 0))
+                rules = tuple(r or ())
+                self.robots[h] = (rules, int(d or 0))
+                clean = tuple(x for x in rules if "?" not in x)
+                dirty = tuple(x for x in rules if "?" in x)
+                if clean:
+                    self._robots_clean[h] = clean
+                if dirty:
+                    self._robots_dirty[h] = dirty
         self.seen: set[str] = set()            # exact truth (urls of my hosts)
         self.cuckoo = CuckooFilter(cuckoo_capacity, seed=shard_id)
         # url -> (depth, seq, host, url_hash); url_hash is the caller-provided
@@ -118,34 +136,55 @@ class CrawlShard:
         hash (snapshot/restore rebuilds the cuckoo from recomputed fnv
         hashes, so a caller using a different hash would defeat the fast
         path after resume)."""
-        urls = batch["url"].to_pylist()
+        n = batch.num_rows
+        self.n_offered += n
+        if n == 0:
+            return 0
+        batch = batch.combine_chunks()
+        depths = np.asarray(batch["depth"], dtype=np.int64)
         hashes = np.asarray(batch["url_hash"], dtype=np.int64)
+        rows = np.nonzero(depths <= self.cfg.max_hops)[0]   # O3, vectorized
+        self.n_rejected_filtered += int(n - len(rows))
+        if len(rows) == 0:
+            return 0
+        urls = batch["url"].to_pylist()
         hosts = batch["host"].to_pylist()
-        depths = batch["depth"].to_pylist()
         seqs = batch["discovery_seq"].to_pylist()
-        self.n_offered += len(urls)
-        maybe_seen = self.cuckoo.contains_many(hashes)
+        maybe_seen = self.cuckoo.contains_many(hashes[rows])  # vectorized
+        depths_l = depths.tolist()
+        hashes_l = hashes.tolist()
+        clean_of = self._robots_clean
+        dirty_of = self._robots_dirty
+        filters = self.filters
+        staged = self.staged
+        seen = self.seen
         n_new = 0
-        for url, h, host, depth, seq, maybe in zip(urls, hashes, hosts, depths, seqs, maybe_seen):
-            if depth > self.cfg.max_hops:
+        for k, i in enumerate(rows.tolist()):
+            url = urls[i]
+            host = hosts[i]
+            pref = clean_of.get(host)
+            if pref is not None:
+                slash = url.find("/", 8)      # first '/' after scheme://
+                if slash >= 0 and url[slash:].startswith(pref):
+                    self.n_rejected_filtered += 1
+                    continue
+            dirty = dirty_of.get(host)
+            if dirty and self._robots_denied(url, dirty):
                 self.n_rejected_filtered += 1
                 continue
-            rules, _ = self.robots.get(host, ((), 0))
-            if rules and self._robots_denied(url, rules):
+            if filters and any(f.search(url) for f in filters):
                 self.n_rejected_filtered += 1
                 continue
-            if self.filters and any(f.search(url) for f in self.filters):
-                self.n_rejected_filtered += 1
-                continue
-            if maybe and url in self.seen:     # exact check only on cuckoo hit
+            if maybe_seen[k] and url in seen:  # exact check only on cuckoo hit
                 self.n_rejected_seen += 1
                 continue
-            cur = self.staged.get(url)
+            seq = seqs[i]
+            cur = staged.get(url)
             if cur is None:
-                self.staged[url] = (depth, seq, host, int(h))
+                staged[url] = (depths_l[i], seq, host, hashes_l[i])
                 n_new += 1
             elif seq < cur[1]:
-                self.staged[url] = (depth, seq, host, int(h))
+                staged[url] = (depths_l[i], seq, host, hashes_l[i])
         return n_new
 
     @staticmethod
@@ -161,10 +200,22 @@ class CrawlShard:
         if not self.staged:
             return
         hashes = np.empty(len(self.staged), dtype=np.int64)
+        by_host: dict[str, list] = {}
         for i, (url, (depth, seq, host, uh)) in enumerate(self.staged.items()):
             self.seen.add(url)
-            heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url, uh))
+            by_host.setdefault(host, []).append((depth, seq, url, uh))
             hashes[i] = uh
+        for host, items in by_host.items():
+            hp = self.heaps.get(host)
+            if hp is None:
+                heapq.heapify(items)          # O(k) bulk build
+                self.heaps[host] = items
+            elif len(items) > len(hp):        # merge-by-heapify beats k pushes
+                hp.extend(items)
+                heapq.heapify(hp)
+            else:
+                for it in items:
+                    heapq.heappush(hp, it)
         self.cuckoo.insert_many(hashes)
         self.staged = {}
 

@@ -1,0 +1,165 @@
+"""Round-2 regression tests: salted LSH groupings preserve outputs,
+prefix-filtered Jaccard equals brute force, pagerank physical plans agree,
+postings-backed search equals a straight text scan, lex-range shard
+routing, bulk cuckoo inserts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- LSH salting
+def test_minhash_salt_invariant(ray_session):
+    from aspseek_ray.pipelines.dedup import minhash_lsh_pairs
+
+    def norm(t):
+        return sorted(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist(),
+                          t["est_jaccard"].to_pylist()))
+
+    assert norm(minhash_lsh_pairs(SF, salt=1)) == \
+        norm(minhash_lsh_pairs(SF, salt=64))
+
+
+def test_simhash_salt_invariant(ray_session):
+    from aspseek_ray.pipelines.dedup import simhash_near_pairs
+
+    def norm(t):
+        return sorted(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist(),
+                          t["hamming"].to_pylist()))
+
+    assert norm(simhash_near_pairs(SF, salt=1)) == \
+        norm(simhash_near_pairs(SF, salt=64))
+
+
+# ------------------------------------------------- prefix-filtered jaccard
+def test_jaccard_prefix_filter_equals_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from aspseek_ray.functions.text import tokenize
+    from aspseek_ray.pipelines.dedup import jaccard_pairs
+
+    got = jaccard_pairs(SF, threshold=0.5)
+    got_set = {(a, b): j for a, b, j in zip(got["doc_a"].to_pylist(),
+                                            got["doc_b"].to_pylist(),
+                                            got["jaccard"].to_pylist())}
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets = {d: set(tokenize(t)) for d, t in zip(docs["doc_id"].to_pylist(),
+                                                docs["text"].to_pylist())}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= 0.5:
+                want[(a, b)] = round(jac, 4)
+    assert got_set == want
+
+
+# ------------------------------------------------------------ pagerank plans
+def test_pagerank_paths_agree(ray_session, sf_small_dir):
+    from aspseek_ray.pipelines.index_products import pagerank
+
+    small = pagerank(f"{sf_small_dir}/pages.parquet", iterations=3)
+    joined = pagerank(f"{sf_small_dir}/pages.parquet", iterations=3,
+                      broadcast_max_nodes=0)  # force the keyed-join plan
+    a = dict(zip(small["url"].to_pylist(), small["rank"].to_pylist()))
+    b = dict(zip(joined["url"].to_pylist(), joined["rank"].to_pylist()))
+    assert a.keys() == b.keys()
+    for u in a:
+        assert a[u] == pytest.approx(b[u], abs=2e-6)
+
+
+# ------------------------------------------------- postings-backed search
+def _scan_tokens(sf_dir):
+    import pyarrow.parquet as pq
+
+    from aspseek_ray.functions.text import tokenize
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return {d: tokenize(t) for d, t in zip(docs["doc_id"].to_pylist(),
+                                           docs["text"].to_pylist())}
+
+
+def test_search_matches_text_scan(ray_session):
+    from aspseek_ray.pipelines import search
+
+    toks = _scan_tokens(SF)
+    want_and = sorted(d for d, ts in toks.items()
+                      if {"spark", "window", "scan"} <= set(ts))
+    assert sorted(search.boolean_and_search(SF)["doc_id"].to_pylist()) == want_and
+
+    want_or = sorted(d for d, ts in toks.items()
+                     if {"spark", "window", "scan"} & set(ts))
+    assert sorted(search.boolean_or_search(SF)["doc_id"].to_pylist()) == want_or
+
+    want_not = sorted(d for d, ts in toks.items()
+                      if "spark" in ts and "window" not in ts)
+    assert sorted(search.boolean_not_search(SF)["doc_id"].to_pylist()) == want_not
+
+    want_phrase = sorted(
+        d for d, ts in toks.items()
+        if any(x == "scan" and y == "slow" for x, y in zip(ts, ts[1:])))
+    assert sorted(search.phrase_search(SF)["doc_id"].to_pylist()) == want_phrase
+
+
+def test_tfidf_matches_text_scan(ray_session):
+    import math
+
+    from aspseek_ray.pipelines import search
+
+    toks = _scan_tokens(SF)
+    n = len(toks)
+    terms = ("spark", "window", "scan")
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    scores = {}
+    for d, ts in toks.items():
+        s = sum(ts.count(t) * math.log(n / df[t]) for t in terms
+                if df[t] and t in ts)
+        if s > 0:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = search.tfidf_search(SF)
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"].to_pylist(), want):
+        assert g == pytest.approx(round(w, 4), abs=1e-4)
+
+
+# ----------------------------------------------------- lex-range sharding
+def test_shard_of_hosts_routing():
+    from aspseek_ray.state.shard import host_shard_bounds, shard_of_hosts
+
+    hosts = [f"h{i:03d}.example" for i in range(100)]
+    # weight h000 heavily: cuts must dedicate shards to its mass
+    weighted = ["h000.example"] * 500 + hosts
+    bounds = host_shard_bounds(weighted, 4)
+    assert len(bounds) == 3
+    sh = shard_of_hosts(bounds, hosts)
+    assert sh.min() >= 0 and sh.max() <= 3
+    # monotone: lexicographic order never decreases the shard id
+    assert all(a <= b for a, b in zip(sh, sh[1:]))
+    # unseen hosts route deterministically
+    again = shard_of_hosts(bounds, ["zzz.example", "aaa.example"])
+    assert list(again) == list(shard_of_hosts(bounds,
+                                              ["zzz.example", "aaa.example"]))
+
+
+def test_cuckoo_bulk_insert_matches_scalar():
+    from aspseek_ray.state.cuckoo import CuckooFilter
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    hashes = rng.integers(-2**62, 2**62, size=5000, dtype=np.int64)
+    bulk = CuckooFilter(1 << 14, seed=1)
+    bulk.insert_many(hashes)
+    assert bulk.contains_many(hashes).all()          # no false negatives
+    other = rng.integers(-2**62, 2**62, size=5000, dtype=np.int64)
+    fp_rate = bulk.contains_many(other).mean()
+    assert fp_rate < 0.05
