@@ -369,12 +369,11 @@ class Crawler:
             m = self.run_round()
             if m is None:
                 break
-        # final artifacts: seen set + metrics
+        # final artifacts: seen set (written in parallel by the shards —
+        # the driver never holds O(corpus) rows) + metrics
         seen_dir = self.out / "seen"
         seen_dir.mkdir(exist_ok=True)
-        tables = ray.get([s.seen_table.remote() for s in self.shards])
-        for i, t in enumerate(tables):
-            pq.write_table(t, seen_dir / f"shard={i}.parquet")
+        ray.get([s.write_seen.remote(str(seen_dir)) for s in self.shards])
         (self.out / "metrics.json").write_text(json.dumps(self.metrics, indent=2))
         return CrawlResult(str(self.out), self.round, self.fetch_base, self.metrics)
 

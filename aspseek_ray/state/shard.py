@@ -327,6 +327,18 @@ class CrawlShard:
         arr = pa.array(urls, type=pa.string())
         return pa.table({"url": arr, "url_hash": pa.array(fnv1a64_arrow(arr))})
 
+    def write_seen(self, out_dir: str) -> int:
+        """Write this shard's seen partition directly (atomic tmp+rename) —
+        the final seen artifact is produced in parallel by the shards, the
+        driver never holds O(corpus) rows."""
+        t = self.seen_table()
+        d = Path(out_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".shard={self.shard_id}.parquet.tmp"
+        pq.write_table(t, tmp)
+        tmp.rename(d / f"shard={self.shard_id}.parquet")
+        return t.num_rows
+
     # ------------------------------------------------------------ checkpoint
     def snapshot(self, ckpt_dir: str) -> dict:
         """Atomic per-shard snapshot: seen set + pending heap entries.
