@@ -115,12 +115,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return extract_media_features(synth_media_dataset(256)).to_pandas()
 
+    def multimodal_frames(sf_dir: str):
+        from aspseek_ray.pipelines.multimodal import (
+            sample_frames,
+            synth_media_dataset,
+        )
+
+        return sample_frames(synth_media_dataset(256)).to_pandas()
+
     return {
         # relational / crawl-operator families (oracle-backed)
         "lineitem_agg": relational.lineitem_agg,
         "segment_revenue": relational.segment_revenue,
         "customer_nation_join": relational.customer_nation_join,
         "topk_orders": relational.topk_orders,
+        "shipping_priority": relational.shipping_priority,
         "customers_without_big_orders": relational.customers_without_orders,
         "top2_customers_per_nation": relational.top2_customers_per_nation,
         "events_hourly": relational.events_hourly,
@@ -154,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": similarity.lsh_topk,
         "fingerprints": textstats.fingerprints,
         "multimodal_features": multimodal_features,
+        "multimodal_frames": multimodal_frames,
     }
 
 
@@ -204,6 +214,17 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "customers_without_big_orders": """
             SELECT c_custkey, c_name, c_acctbal FROM customer

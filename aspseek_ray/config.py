@@ -29,6 +29,14 @@ class CrawlConfig:
     # url filters (reference Allow/Disallow/CheckOnly chains, O2)
     disallow_patterns: tuple[str, ...] = ()   # regex, first-match rejects
 
+    # follow mode (reference `Server [mode] URL` — O3): restricts which
+    # DISCOVERED urls may enter the frontier relative to the seed list:
+    #   world — no restriction (default);
+    #   site  — only hosts that appear in the seed list;
+    #   path  — only urls under a seed's directory prefix
+    #           (seed url truncated after its last '/').
+    follow_mode: str = "world"
+
     # checkpointing
     checkpoint_every: int = 1             # rounds between checkpoints
 

@@ -176,11 +176,25 @@ class Crawler:
             "num_page_buckets": self.cfg.num_page_buckets,
             "disallow_patterns": list(self.cfg.disallow_patterns),
             "checkpoint_every": self.cfg.checkpoint_every,
+            "follow_mode": self.cfg.follow_mode,
         })
+        # follow-mode (O3) seed slices, partitioned like everything else
+        follow_hosts: list[list[str]] = [[] for _ in range(self.cfg.num_shards)]
+        follow_prefixes: list[list[str]] = [[] for _ in range(self.cfg.num_shards)]
+        if self.cfg.follow_mode != "world":
+            all_seed_hosts = [host_of(u) for u in seed_urls]
+            seed_sh = shard_of_hosts(self.host_bounds, all_seed_hosts)
+            for u, h, s in zip(seed_urls, all_seed_hosts, seed_sh):
+                follow_hosts[int(s)].append(h)
+                follow_prefixes[int(s)].append(u[: u.rfind("/") + 1])
+            follow_hosts = [sorted(set(x)) for x in follow_hosts]
+            follow_prefixes = [sorted(set(x)) for x in follow_prefixes]
         ShardActor = ray.remote(CrawlShard)
         self.shards = [
             ShardActor.remote(s, cfg_json,
-                              robots.filter(pa.array(shard_ids == s)))
+                              robots.filter(pa.array(shard_ids == s)),
+                              follow_hosts=follow_hosts[s],
+                              follow_prefixes=follow_prefixes[s])
             for s in range(self.cfg.num_shards)
         ]
         self.round = 0

@@ -95,6 +95,79 @@ def segment_revenue(sf_dir: str) -> pa.Table:
                         _round2(t["total_price"]))
 
 
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10) -> pa.Table:
+    """TPC-H-Q3-flavor 3-way join + filtered grouped top-k: revenue of
+    not-yet-shipped lineitems for one market segment's orders placed
+    before ``cutoff``. Physical plan: both dim sides (customer keys of the
+    segment; qualifying orders) reduce to broadcast lookups built
+    DISTRIBUTED (iter_batches over pruned reads), then one pass over
+    lineitem with per-batch partial aggregation — the fact table never
+    shuffles; the final groupby moves only partial rows."""
+    cut = np.datetime64(f"{cutoff}T00:00:00")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_keys = set()
+    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = pc.equal(b["c_mktsegment"], segment)
+        seg_keys.update(b.filter(m)["c_custkey"].to_pylist())
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    order_info: dict[int, int] = {}   # o_orderkey -> orderdate (ns int)
+    seg_ref = ray.put(np.fromiter(seg_keys, np.int64, len(seg_keys)))
+
+    def order_filter(b: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        mine = np.isin(b["o_custkey"].to_numpy(), keys)
+        early = b["o_orderdate"].to_numpy() < cut
+        return b.filter(pa.array(mine & early)).select(
+            ["o_orderkey", "o_orderdate"])
+
+    for b in (orders.map_batches(order_filter, batch_format="pyarrow")
+                    .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        order_info.update(zip(b["o_orderkey"].to_pylist(),
+                              b["o_orderdate"].to_numpy().astype("int64").tolist()))
+    info_ref = ray.put(order_info)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    class Partial:
+        def __init__(self):
+            self.info = ray.get(info_ref)   # once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            late = b["l_shipdate"].to_numpy() > cut
+            b = b.filter(pa.array(late))
+            keys = b["l_orderkey"].to_numpy()
+            dates = np.fromiter((self.info.get(int(x), -1) for x in keys),
+                                np.int64, len(keys))
+            hit = dates >= 0
+            rev = (b["l_extendedprice"].to_numpy()
+                   * (1.0 - b["l_discount"].to_numpy()))[hit]
+            t = pa.table({"l_orderkey": pa.array(keys[hit]),
+                          "o_orderdate": pa.array(dates[hit]),
+                          "revenue": pa.array(rev)})
+            return t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+                [("revenue", "sum")])
+
+    agg = (li.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+             .groupby(["l_orderkey", "o_orderdate"])
+             .aggregate(Sum("revenue_sum", alias_name="revenue"))).to_pandas()
+    # round BEFORE the top-k cut — the oracle's ORDER BY uses the rounded
+    # alias, so boundary ties must break on the rounded value
+    agg["revenue"] = np.round(agg["revenue"].to_numpy(), 2)
+    agg = agg.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(k)
+    return pa.table({
+        "l_orderkey": pa.array(agg["l_orderkey"].to_numpy(), pa.int64()),
+        "o_orderdate": pa.array(           # int64 values are MICROSECONDS
+            agg["o_orderdate"].to_numpy().astype("datetime64[us]")),
+        "revenue": pa.array(np.round(agg["revenue"].to_numpy(), 2)),
+    })
+
+
 # ------------------------------------------------------------------- O16 / O24
 def topk_orders(sf_dir: str, k: int = 10) -> pa.Table:
     """Global top-k with deterministic tiebreak (O24 result ranking)."""

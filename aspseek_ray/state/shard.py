@@ -88,12 +88,26 @@ class CrawlShard:
 
     def __init__(self, shard_id: int, cfg_json: str,
                  robots_rows: pa.Table | None = None,
-                 cuckoo_capacity: int = 1 << 20):
+                 cuckoo_capacity: int = 1 << 20,
+                 follow_hosts: list[str] | None = None,
+                 follow_prefixes: list[str] | None = None):
         self.shard_id = shard_id
         cfg_raw = json.loads(cfg_json)
         cfg_raw["disallow_patterns"] = tuple(cfg_raw.get("disallow_patterns", ()))
         self.cfg = CrawlConfig(**cfg_raw)
         self.filters = [re.compile(p) for p in self.cfg.disallow_patterns]
+        # follow mode (O3, reference `Server [mode] URL`): this shard's
+        # slice of the seed host set / seed directory prefixes. A prefix
+        # embeds scheme://host/, so a url can only match its own host's
+        # prefixes — per-shard slices are exact.
+        self.follow_mode = self.cfg.follow_mode
+        self.follow_hosts = frozenset(follow_hosts or ())
+        pref_of: dict[str, list[str]] = {}
+        from aspseek_ray.functions.url import host_of
+
+        for p in (follow_prefixes or ()):
+            pref_of.setdefault(host_of(p), []).append(p)
+        self.follow_prefix_of = {h: tuple(v) for h, v in pref_of.items()}
         # robots: host -> (tuple rules, delay_ms); only rows for my hosts are
         # passed in (pre-partitioned), loaded once per actor (T3).
         self.robots: dict[str, tuple[tuple[str, ...], int]] = {}
@@ -159,9 +173,20 @@ class CrawlShard:
         staged = self.staged
         seen = self.seen
         n_new = 0
+        follow_mode = self.follow_mode
+        follow_hosts = self.follow_hosts
+        follow_prefix_of = self.follow_prefix_of
         for k, i in enumerate(rows.tolist()):
             url = urls[i]
             host = hosts[i]
+            if follow_mode == "site" and host not in follow_hosts:
+                self.n_rejected_filtered += 1
+                continue
+            if follow_mode == "path":
+                fp = follow_prefix_of.get(host)
+                if fp is None or not url.startswith(fp):
+                    self.n_rejected_filtered += 1
+                    continue
             pref = clean_of.get(host)
             if pref is not None:
                 slash = url.find("/", 8)      # first '/' after scheme://

@@ -57,6 +57,9 @@ def simulate(pages: dict[str, bytes], seeds: list[str],
     res = SimResult()
     heaps: dict[str, list] = {}
     filters = [re.compile(p) for p in cfg.disallow_patterns]
+    # follow-mode restriction sets (O3: Server mode site/path/world)
+    seed_hosts = {host_of(s) for s in seeds}
+    seed_prefixes = tuple({s[: s.rfind("/") + 1] for s in seeds})
 
     def offer(url: str, depth: int, seq: int) -> None:
         if url in res.seen:
@@ -64,6 +67,10 @@ def simulate(pages: dict[str, bytes], seeds: list[str],
         if depth > cfg.max_hops:
             return
         host = host_of(url)
+        if cfg.follow_mode == "site" and host not in seed_hosts:
+            return
+        if cfg.follow_mode == "path" and not url.startswith(seed_prefixes):
+            return
         rules, _ = robots.get(host, ([], 0))
         if robots_denied(urlsplit(url).path or "/", rules):
             return

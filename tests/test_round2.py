@@ -152,6 +152,56 @@ def test_shard_of_hosts_routing():
                                               ["zzz.example", "aaa.example"]))
 
 
+def test_follow_mode_conformance(ray_session, tmp_path_factory):
+    """O3 follow modes (reference `Server [mode] URL`): site- and
+    path-restricted crawls must reproduce the simulator exactly AND be
+    strictly narrower than the world crawl."""
+    import pyarrow.parquet as pq
+
+    from aspseek_ray.config import CrawlConfig
+    from aspseek_ray.pipelines.crawl import run_crawl
+    from fixtures.gen import generate_corpus
+    from ref_sim import load_corpus, simulate
+
+    d = str(tmp_path_factory.mktemp("follow_corpus"))
+    generate_corpus(d, n_pages=400, n_hosts=16, seed=11)
+    pages, seeds, robots, redirects = load_corpus(d)
+    sizes = {}
+    for mode in ("world", "site", "path"):
+        cfg = CrawlConfig(max_rounds=8, num_shards=3, num_page_buckets=4,
+                          follow_mode=mode)
+        want = simulate(pages, seeds, robots, cfg, redirects)
+        out = str(tmp_path_factory.mktemp(f"follow_{mode}"))
+        res = run_crawl(d, out, cfg)
+        assert res.trace_table().to_pylist() == want.trace, mode
+        seen = set(pq.read_table(res.seen_path())["url"].to_pylist())
+        assert seen == want.seen, mode
+        sizes[mode] = len(want.trace)
+    assert sizes["site"] < sizes["world"]      # restriction actually bites
+    assert sizes["path"] <= sizes["site"]
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    from aspseek_ray.pipelines.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media_dataset,
+    )
+
+    ds = synth_media_dataset(60)
+    r = resize_images(ds).to_pandas()
+    assert len(r) == 20                                   # image rows only
+    assert (r[["out_w", "out_h"]].max(axis=1) <= 256).all()
+    assert (r[["out_w", "out_h"]].min(axis=1) >= 1).all()
+    f = sample_frames(ds).to_pandas()
+    assert set(f.columns) == {"media_id", "frame_idx", "ts_ms",
+                              "frame_features"}
+    assert f["media_id"].nunique() == 20                  # video rows only
+    per = f.groupby("media_id")["frame_idx"]
+    assert per.apply(lambda s: list(s) == list(range(len(s)))).all()
+    assert (per.size() <= 16).all()
+
+
 def test_cuckoo_bulk_insert_matches_scalar():
     from aspseek_ray.state.cuckoo import CuckooFilter
 
