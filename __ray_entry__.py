@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _run_crawl(sf_dir, "q_stats")
         return index_products.crawl_status_stats(res.trace_table())
 
+    def crawl_host_stats(sf_dir: str):
+        res = _run_crawl(sf_dir, "q_hstats")
+        return index_products.host_stats(res.trace_table())
+
     def crawl_recrawl_diff(sf_dir: str):
         from aspseek_ray.pipelines import revisit
 
@@ -155,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
         "crawl_status_stats": crawl_status_stats,
+        "crawl_host_stats": crawl_host_stats,
         "crawl_recrawl_diff": crawl_recrawl_diff,
         "crawl_excerpts": crawl_excerpts,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,

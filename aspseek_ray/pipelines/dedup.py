@@ -141,7 +141,6 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                          "blob": pa.array(blob_c, pa.binary())})
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        hot = ray.get(hot_ref)
         out_a, out_b, out_j = [], [], []
         for wh, grp in g.groupby("word_hash", sort=False):
             if len(grp) < 2:
@@ -153,17 +152,18 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
             sz = grp["size"].to_numpy()
             pl = grp["plen"].to_numpy()
             arrs = [np.frombuffer(b, np.int64) for b in grp["blob"]]
-            w_key = (hot.get(int(wh), 1), int(wh))
+            prefs = [a[:p] for a, p in zip(arrs, pl)]
             i_idx, j_idx = np.triu_indices(len(docs), k=1)
             keep = (np.minimum(sz[i_idx], sz[j_idx])
                     >= threshold * np.maximum(sz[i_idx], sz[j_idx]))
             for i, j in zip(i_idx[keep], j_idx[keep]):
                 # emit a pair only in its minimal common PREFIX token's
-                # group -> globally exactly-once, no dedup shuffle
-                common = np.intersect1d(arrs[i][:pl[i]], arrs[j][:pl[j]],
-                                        assume_unique=True)
-                kmin = min((hot.get(int(h), 1), int(h)) for h in common)
-                if kmin != w_key:
+                # group -> globally exactly-once, no dedup shuffle. Blobs
+                # are stored in the global rare-first order, so the min
+                # common prefix token is the FIRST element of i's prefix
+                # that also occurs in j's (one vectorized isin).
+                m = np.isin(prefs[i], prefs[j], assume_unique=True)
+                if not m.any() or int(prefs[i][int(np.argmax(m))]) != wh:
                     continue
                 inter = np.intersect1d(arrs[i], arrs[j],
                                        assume_unique=True).size
@@ -496,18 +496,29 @@ def near_dup_groups(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 
 
 # ------------------------------------------------------- embedding near-dup
+@ray.remote
+def _normalized_matrix(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, L2-normalized matrix) built ON A WORKER — the driver only
+    holds the ObjectRef, never the O(n x d) array."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return ids, M
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     """Cosine near-dup over the embeddings table: blocked matmul of
-    L2-normalized vectors against a broadcast matrix. O(n^2) scoring done
-    batch x full — the brute baseline; the LSH path is
-    similarity.lsh_topk. Output (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    L2-normalized vectors against a broadcast matrix (built on a worker,
+    shared zero-copy via the object store). O(n^2) scoring done
+    batch x full — the exact baseline, right up to the largest matrix a
+    worker heap holds; beyond that the scale path is LSH bucketing
+    (similarity.lsh_topk). Output (vec_a, vec_b, cosine), vec_a < vec_b."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    full = pa.concat_tables(ray.get(emb.to_arrow_refs()))
-    ids = full["vec_id"].to_numpy()
-    M = np.stack(full["embedding"].to_pylist()).astype(np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((ids, M))
+    mat_ref = _normalized_matrix.remote(f"{sf_dir}/embeddings.parquet")
 
     def block(batch: pa.Table) -> pa.Table:
         bids = batch["vec_id"].to_numpy()

@@ -231,10 +231,16 @@ def run_bench() -> dict:
 
     # ---- representative operator pipelines over $GRAFT_SF_DIR ------------
     q = em.queries()
-    bench_queries = ["lineitem_agg", "segment_revenue", "topk_orders",
+    # jaccard_pairs is excluded: at sf0.1 the synthetic corpus makes 71% of
+    # ALL doc pairs near-duplicates (8.9M output rows) — the output itself
+    # is quadratic, so it measures the corpus, not the engine (exactness is
+    # gated at sf0.01 by the oracle instead).
+    bench_queries = ["lineitem_agg", "segment_revenue", "shipping_priority",
+                     "topk_orders",
                      "events_hourly", "token_stats", "word_df", "exact_dedup",
                      "ann_topk", "minhash_lsh_pairs", "simhash_near_pairs",
-                     "quality_scores", "embedding_near_dup"]
+                     "quality_scores", "embedding_near_dup",
+                     "boolean_and_search", "tfidf_search"]
     for name in bench_queries:
         t0 = time.monotonic()
         r = q[name](SF_DIR)
