@@ -40,6 +40,12 @@ class CrawlConfig:
     # checkpointing
     checkpoint_every: int = 1             # rounds between checkpoints
 
+    # per-host in-memory frontier bound (SURVEY §4 backlog sub-partitioning):
+    # a host whose heap exceeds this spills its tail to sorted parquet runs
+    # (exact: every spilled entry orders after every in-heap entry); 0 = off.
+    # The default keeps ~1M entries (<100 MB) per pathological host in RAM.
+    host_heap_cap: int = 1_000_000
+
     # stored-copy output (reference `stored` daemon, SURVEY S8): write
     # (url_hash, url, text) zstd parquet per bucket per round
     write_store: bool = True

@@ -177,6 +177,7 @@ class Crawler:
             "disallow_patterns": list(self.cfg.disallow_patterns),
             "checkpoint_every": self.cfg.checkpoint_every,
             "follow_mode": self.cfg.follow_mode,
+            "host_heap_cap": self.cfg.host_heap_cap,
         })
         # follow-mode (O3) seed slices, partitioned like everything else
         follow_hosts: list[list[str]] = [[] for _ in range(self.cfg.num_shards)]
@@ -190,11 +191,13 @@ class Crawler:
             follow_hosts = [sorted(set(x)) for x in follow_hosts]
             follow_prefixes = [sorted(set(x)) for x in follow_prefixes]
         ShardActor = ray.remote(CrawlShard)
+        spill_dir = str(self.out / "spill")
         self.shards = [
             ShardActor.remote(s, cfg_json,
                               robots.filter(pa.array(shard_ids == s)),
                               follow_hosts=follow_hosts[s],
-                              follow_prefixes=follow_prefixes[s])
+                              follow_prefixes=follow_prefixes[s],
+                              spill_dir=spill_dir)
             for s in range(self.cfg.num_shards)
         ]
         self.round = 0

@@ -90,7 +90,8 @@ class CrawlShard:
                  robots_rows: pa.Table | None = None,
                  cuckoo_capacity: int = 1 << 20,
                  follow_hosts: list[str] | None = None,
-                 follow_prefixes: list[str] | None = None):
+                 follow_prefixes: list[str] | None = None,
+                 spill_dir: str | None = None):
         self.shard_id = shard_id
         cfg_raw = json.loads(cfg_json)
         cfg_raw["disallow_patterns"] = tuple(cfg_raw.get("disallow_patterns", ()))
@@ -134,8 +135,20 @@ class CrawlShard:
         # url -> (depth, seq, host, url_hash); url_hash is the caller-provided
         # hash (fnv1a64 everywhere) so cuckoo insert/check stay consistent.
         self.staged: dict[str, tuple[int, int, str, int]] = {}
-        self.heaps: dict[str, list] = {}       # host -> [(depth, seq, url)]
+        self.heaps: dict[str, list] = {}       # host -> [(depth, seq, url, uh)]
         self._popped: pa.Table | None = None   # held round slice (pop_round_count)
+        # backlog spill (SURVEY §4 hot-host sub-partitioning): a host's
+        # in-memory heap is capped at cfg.host_heap_cap; the tail lives in
+        # sorted parquet RUNS on disk. EXACT invariant: every in-heap entry
+        # orders before every spilled/overflow entry (spill_min), so heap
+        # pops remain globally ordered; reload merges runs when the heap
+        # drains.
+        self.spill_dir = spill_dir
+        self.spill_runs: dict[str, list[Path]] = {}   # host -> run files
+        self.spill_min: dict[str, tuple] = {}         # host -> min spilled entry
+        self.spill_rows: dict[str, int] = {}          # host -> spilled row count
+        self.overflow: dict[str, list] = {}           # host -> pending >= spill_min
+        self._run_seq = 0
         self.n_offered = 0
         self.n_rejected_seen = 0
         self.n_rejected_filtered = 0
@@ -217,6 +230,71 @@ class CrawlShard:
         path = urlsplit(url).path or "/"
         return any(path.startswith(r) for r in rules)
 
+    # ------------------------------------------------------------- spill
+    def _has_backlog(self, host: str) -> bool:
+        return host in self.spill_runs or host in self.overflow
+
+    def _entries_table(self, entries: list) -> pa.Table:
+        return pa.table({
+            "depth": pa.array([e[0] for e in entries], pa.int32()),
+            "discovery_seq": pa.array([e[1] for e in entries], pa.int64()),
+            "url": pa.array([e[2] for e in entries], pa.string()),
+            "url_hash": pa.array([e[3] for e in entries], pa.int64()),
+        })
+
+    def _write_run(self, host: str, entries_sorted: list) -> None:
+        d = Path(self.spill_dir) / f"shard={self.shard_id}"
+        d.mkdir(parents=True, exist_ok=True)
+        self._run_seq += 1
+        from aspseek_ray.functions.hashing import fnv1a64
+
+        f = d / f"run-{abs(fnv1a64(host)) & 0xFFFFFFFF:08x}-{self._run_seq}.parquet"
+        pq.write_table(self._entries_table(entries_sorted), f)
+        self.spill_runs.setdefault(host, []).append(f)
+        self.spill_rows[host] = self.spill_rows.get(host, 0) + len(entries_sorted)
+        cur = self.spill_min.get(host)
+        if cur is None or entries_sorted[0] < cur:
+            self.spill_min[host] = entries_sorted[0]
+
+    def _cap_host(self, host: str) -> None:
+        cap = self.cfg.host_heap_cap
+        if not cap or self.spill_dir is None:
+            return
+        ov = self.overflow.get(host)
+        if ov and len(ov) >= cap:
+            ov.sort()
+            self._write_run(host, ov)
+            del self.overflow[host]
+        hp = self.heaps.get(host)
+        if hp and len(hp) > cap:
+            hp.sort()
+            keep = max(1, cap // 2)
+            self._write_run(host, hp[keep:])
+            self.heaps[host] = hp[:keep]      # a sorted list IS a valid heap
+
+    def _reload(self, host: str) -> None:
+        """Merge this host's spill runs + overflow (+ heap leftovers) back,
+        keeping the best cap//2 in the heap and re-spilling the rest."""
+        entries = list(self.heaps.get(host, ()))
+        entries.extend(self.overflow.pop(host, ()))
+        for f in self.spill_runs.pop(host, []):
+            t = pq.read_table(f)
+            entries.extend(zip(t["depth"].to_pylist(),
+                               t["discovery_seq"].to_pylist(),
+                               t["url"].to_pylist(),
+                               t["url_hash"].to_pylist()))
+            f.unlink()
+        self.spill_min.pop(host, None)
+        self.spill_rows.pop(host, None)
+        entries.sort()
+        cap = self.cfg.host_heap_cap
+        keep = max(1, cap // 2) if cap else len(entries)
+        if cap and len(entries) > cap:
+            self.heaps[host] = entries[:keep]
+            self._write_run(host, entries[keep:])
+        else:
+            self.heaps[host] = entries
+
     # -------------------------------------------------------------- pop_round
     def _flush(self) -> None:
         """Move staged offers into seen + heaps. Deterministic once all of a
@@ -231,6 +309,15 @@ class CrawlShard:
             by_host.setdefault(host, []).append((depth, seq, url, uh))
             hashes[i] = uh
         for host, items in by_host.items():
+            smin = self.spill_min.get(host)
+            if smin is not None:              # spill invariant: >= spill_min
+                worse = [e for e in items if e >= smin]
+                if worse:
+                    self.overflow.setdefault(host, []).extend(worse)
+                    items = [e for e in items if e < smin]
+                    if not items:
+                        self._cap_host(host)
+                        continue
             hp = self.heaps.get(host)
             if hp is None:
                 heapq.heapify(items)          # O(k) bulk build
@@ -241,6 +328,7 @@ class CrawlShard:
             else:
                 for it in items:
                     heapq.heappush(hp, it)
+            self._cap_host(host)
         self.cuckoo.insert_many(hashes)
         self.staged = {}
 
@@ -251,16 +339,25 @@ class CrawlShard:
         (host-lex, pop-order) trace order."""
         self._flush()
         hosts_out, urls_out, depths_out, seqs_out, pops_out, hashes_out = [], [], [], [], [], []
-        for host in sorted(self.heaps.keys()):
-            hp = self.heaps[host]
+        all_hosts = set(self.heaps) | set(self.spill_runs) | set(self.overflow)
+        for host in sorted(all_hosts):
+            hp = self.heaps.get(host)
+            if not hp and self._has_backlog(host):
+                self._reload(host)
+                hp = self.heaps.get(host)
             if not hp:
-                del self.heaps[host]
+                self.heaps.pop(host, None)
                 continue
             _, delay = self.robots.get(host, ((), 0))
             budget = self.cfg.effective_budget(delay)
             for pop_idx in range(budget):
                 if not hp:
-                    break
+                    if not self._has_backlog(host):
+                        break
+                    self._reload(host)        # exact: spilled entries all
+                    hp = self.heaps[host]     # order after drained heap
+                    if not hp:
+                        break
                 depth, seq, url, uh = heapq.heappop(hp)
                 hosts_out.append(host)
                 urls_out.append(url)
@@ -268,7 +365,7 @@ class CrawlShard:
                 seqs_out.append(seq)
                 pops_out.append(pop_idx)
                 hashes_out.append(uh)
-            if not hp:
+            if not hp and not self._has_backlog(host):
                 del self.heaps[host]
         return pa.table(
             {
@@ -320,17 +417,25 @@ class CrawlShard:
         return out
 
     def push_back(self, batch: pa.Table) -> None:
-        """Return urls cut by the max_docs cap to their heaps (O32)."""
+        """Return urls cut by the max_docs cap to their heaps (O32). Popped
+        entries always order before any spilled entry (they came out of the
+        heap), so a plain push preserves the spill invariant."""
+        touched = set()
         for host, url, depth, seq, uh in zip(batch["host"].to_pylist(),
                                              batch["url"].to_pylist(),
                                              batch["depth"].to_pylist(),
                                              batch["discovery_seq"].to_pylist(),
                                              batch["url_hash"].to_pylist()):
             heapq.heappush(self.heaps.setdefault(host, []), (depth, seq, url, uh))
+            touched.add(host)
+        for host in touched:
+            self._cap_host(host)
 
     # ------------------------------------------------------------- lifecycle
     def pending(self) -> int:
-        return sum(len(h) for h in self.heaps.values()) + len(self.staged)
+        return (sum(len(h) for h in self.heaps.values()) + len(self.staged)
+                + sum(self.spill_rows.values())
+                + sum(len(o) for o in self.overflow.values()))
 
     def stats(self) -> dict:
         return {
@@ -373,10 +478,23 @@ class CrawlShard:
         self._flush()  # staged offers are part of durable state
         seen_t = self.seen_table(sort=False)  # checkpoints need no ordering
         hosts, urls, depths, seqs, hashes = [], [], [], [], []
-        for host, hp in self.heaps.items():
-            for depth, seq, url, uh in hp:
+
+        def add(host, entries):
+            for depth, seq, url, uh in entries:
                 hosts.append(host); urls.append(url); depths.append(depth)
                 seqs.append(seq); hashes.append(uh)
+
+        for host, hp in self.heaps.items():
+            add(host, hp)
+        for host, ov in self.overflow.items():       # spilled state is part
+            add(host, ov)                            # of the durable frontier
+        for host, files in self.spill_runs.items():
+            for f in files:
+                t = pq.read_table(f)
+                add(host, zip(t["depth"].to_pylist(),
+                              t["discovery_seq"].to_pylist(),
+                              t["url"].to_pylist(),
+                              t["url_hash"].to_pylist()))
         front_t = pa.table({
             "host": pa.array(hosts, type=pa.string()),
             "url": pa.array(urls, type=pa.string()),
@@ -399,13 +517,25 @@ class CrawlShard:
         self.cuckoo.insert_many(np.asarray(seen_t["url_hash"], dtype=np.int64))
         front_t = pq.read_table(d / "frontier.parquet")
         self.heaps = {}
+        # stale spill runs from the crashed run are superseded by the
+        # checkpoint frontier — wipe this shard's spill dir and rebuild
+        self.spill_runs, self.spill_min, self.spill_rows = {}, {}, {}
+        self.overflow = {}
+        if self.spill_dir is not None:
+            sd = Path(self.spill_dir) / f"shard={self.shard_id}"
+            if sd.exists():
+                for f in sd.glob("run-*.parquet"):
+                    f.unlink()
         for host, url, depth, seq, uh in zip(front_t["host"].to_pylist(),
                                              front_t["url"].to_pylist(),
                                              front_t["depth"].to_pylist(),
                                              front_t["discovery_seq"].to_pylist(),
                                              front_t["url_hash"].to_pylist()):
-            heapq.heappush(self.heaps.setdefault(host, []),
-                           (int(depth), int(seq), url, int(uh)))
+            self.heaps.setdefault(host, []).append(
+                (int(depth), int(seq), url, int(uh)))
+        for host, hp in self.heaps.items():
+            heapq.heapify(hp)
+            self._cap_host(host)
         self.staged = {}
         return {"shard": self.shard_id, "seen": len(self.seen),
-                "pending": sum(len(h) for h in self.heaps.values())}
+                "pending": self.pending()}

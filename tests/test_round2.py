@@ -181,7 +181,79 @@ def test_follow_mode_conformance(ray_session, tmp_path_factory):
     assert sizes["path"] <= sizes["site"]
 
 
-def test_multimodal_resize_and_frames(ray_session):
+def test_heap_spill_conformance(ray_session, tmp_path_factory):
+    """Backlog spill (host_heap_cap): with a pathologically tiny cap the
+    crawl must spill nearly every frontier entry through parquet runs and
+    STILL reproduce the simulator's trace and seen set exactly — including
+    a resume from checkpoint mid-crawl."""
+    import pyarrow.parquet as pq
+
+    from aspseek_ray.config import CrawlConfig
+    from aspseek_ray.pipelines.crawl import Crawler, run_crawl
+    from fixtures.gen import generate_corpus
+    from ref_sim import load_corpus, simulate
+
+    d = str(tmp_path_factory.mktemp("spill_corpus"))
+    generate_corpus(d, n_pages=400, n_hosts=8, seed=13)
+    pages, seeds, robots, redirects = load_corpus(d)
+    cfg = CrawlConfig(max_rounds=10, num_shards=2, num_page_buckets=4,
+                      host_heap_cap=4)
+    want = simulate(pages, seeds, robots, cfg, redirects)
+
+    out = str(tmp_path_factory.mktemp("spill_out"))
+    res = run_crawl(d, out, cfg)
+    assert res.trace_table().to_pylist() == want.trace
+    seen = set(pq.read_table(res.seen_path())["url"].to_pylist())
+    assert seen == want.seen
+    assert res.rounds > 2
+
+    # resume path: crash after 3 rounds, restore, finish — identical state
+    out2 = str(tmp_path_factory.mktemp("spill_out2"))
+    c1 = Crawler(d, out2, cfg)
+    for _ in range(3):
+        c1.run_round()
+    c1.shutdown()
+    c2 = Crawler(d, out2, cfg, resume=True)
+    res2 = c2.run()
+    c2.shutdown()
+    assert res2.trace_table().to_pylist() == want.trace
+    seen2 = set(pq.read_table(res2.seen_path())["url"].to_pylist())
+    assert seen2 == want.seen
+
+
+def test_heap_spill_bounds_memory():
+    """Plain-class check: the in-heap size per host never exceeds the cap
+    while total pending is preserved."""
+    import json
+    from dataclasses import asdict
+
+    from aspseek_ray.config import CrawlConfig
+    from aspseek_ray.functions.hashing import fnv1a64
+    from aspseek_ray.state.shard import CrawlShard
+
+    cfg_json = json.dumps(asdict(CrawlConfig(per_host_per_round=3,
+                                             host_heap_cap=8,
+                                             max_hops=99)))
+    s = CrawlShard(0, cfg_json, spill_dir="/tmp/spill_unit")
+    rows = [(f"http://h.example/p{i}", "h.example", 1, 1000 - i)
+            for i in range(200)]
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "url_hash": pa.array([fnv1a64(r[0]) for r in rows], pa.int64()),
+        "host": pa.array([r[1] for r in rows]),
+        "depth": pa.array([r[2] for r in rows], pa.int32()),
+        "discovery_seq": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    s.offer(t)
+    popped = []
+    for _ in range(100):
+        out = s.pop_round()
+        if out.num_rows == 0:
+            break
+        assert all(len(h) <= 8 for h in s.heaps.values())
+        popped.extend(out["discovery_seq"].to_pylist())
+    # every url pops exactly once, in exact (depth, seq) order
+    assert popped == sorted(1000 - i for i in range(200))
     from aspseek_ray.pipelines.multimodal import (
         resize_images,
         sample_frames,
