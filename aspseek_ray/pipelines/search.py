@@ -211,6 +211,77 @@ def boolean_not_search(sf_dir: str, include: str = "spark",
     return pa.table({"doc_id": pa.array(np.sort(out), pa.int64())})
 
 
+def stemmed_search(sf_dir: str,
+                   terms: tuple[str, ...] = ("scanned", "windows")) -> pa.Table:
+    """Morphology-expanded boolean AND (O13 + O27; reference: ispell form
+    expansion at query time, src/spell.cpp role): a doc matches if, for
+    EVERY query term, it contains some token with the same Porter stem.
+    Two index passes: a vocabulary sweep (distinct words only) maps query
+    stems -> surface forms, then the normal pruned posting fetch runs on
+    those forms. At scale the stem->forms table is materialized once
+    beside the index instead of swept per query."""
+    from aspseek_ray.functions.morphology import stem
+
+    pdir, _ = _ensure_doc_postings(sf_dir)
+    want = {stem(t) for t in terms}
+
+    def vocab_match(batch: pa.Table) -> pa.Table:
+        words = sorted(set(batch["word"].to_pylist()))
+        keep = [(w, stem(w)) for w in words if stem(w) in want]
+        return pa.table({"word": pa.array([w for w, _ in keep], pa.string()),
+                         "stem": pa.array([s for _, s in keep], pa.string())})
+
+    files = sorted(str(f) for f in Path(pdir).glob("word_bucket=*/*.parquet"))
+    vt = (rd.read_parquet(files, columns=["word"])
+            .map_batches(vocab_match, batch_format="pyarrow"))
+    forms = pa.concat_tables([t for t in ray.get(vt.to_arrow_refs())
+                              if t.num_rows] or
+                             [pa.table({"word": pa.array([], pa.string()),
+                                        "stem": pa.array([], pa.string())})])
+    stem_of = dict(zip(forms["word"].to_pylist(), forms["stem"].to_pylist()))
+    if set(stem_of.values()) != want:       # some stem has no surface form
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    post, _ = _term_postings(sf_dir, tuple(sorted(set(stem_of))))
+    sets = _doc_sets(post)
+    by_stem: dict[str, list[np.ndarray]] = {}
+    for w, docs in sets.items():
+        by_stem.setdefault(stem_of[w], []).append(docs)
+    acc: np.ndarray | None = None
+    for s in want:
+        docs = np.unique(np.concatenate(by_stem.get(s, [np.empty(0, np.int64)])))
+        acc = docs if acc is None else np.intersect1d(acc, docs,
+                                                      assume_unique=True)
+    return pa.table({"doc_id": pa.array(np.sort(acc), pa.int64())})
+
+
+class QueryCache:
+    """LRU query-result cache (SURVEY T6; reference: src/qcache.cpp — the
+    searchd query cache). Wraps any query callable; keys on the positional
+    args. Eviction is least-recently-used at ``maxsize`` entries."""
+
+    def __init__(self, fn, maxsize: int = 128):
+        from collections import OrderedDict
+
+        self.fn = fn
+        self.maxsize = maxsize
+        self._cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def __call__(self, *args):
+        key = args
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return self._cache[key]
+        self.misses += 1
+        val = self.fn(*args)
+        self._cache[key] = val
+        if len(self._cache) > self.maxsize:
+            self._cache.popitem(last=False)
+        return val
+
+
 def excerpts(store_dir: str, terms: tuple[str, ...],
              width: int = 40) -> pa.Table:
     """Cached-copy excerpt slicing (the ``stored`` daemon's excerpts.cpp

@@ -181,6 +181,46 @@ def test_follow_mode_conformance(ray_session, tmp_path_factory):
     assert sizes["path"] <= sizes["site"]
 
 
+def test_porter_stemmer_vectors():
+    from aspseek_ray.functions.morphology import porter_stem
+
+    vectors = {
+        "caresses": "caress", "cats": "cat", "agreed": "agre",
+        "motoring": "motor", "conflated": "conflat", "sing": "sing",
+        "relational": "relat", "argument": "argument",
+        "happiness": "happi", "adjustable": "adjust", "feed": "feed",
+        "running": "run", "plastered": "plaster",
+    }
+    for w, s in vectors.items():
+        assert porter_stem(w) == s, (w, porter_stem(w), s)
+    assert porter_stem("Windows") == porter_stem("windows")
+
+
+def test_stemmed_search_matches_scan(ray_session):
+    from aspseek_ray.functions.morphology import stem
+    from aspseek_ray.pipelines import search
+
+    toks = _scan_tokens(SF)
+    terms = ("scanned", "windows")
+    want = sorted(
+        d for d, ts in toks.items()
+        if all(any(stem(t) == stem(q) for t in ts) for q in terms))
+    got = sorted(search.stemmed_search(SF, terms)["doc_id"].to_pylist())
+    assert got == want and len(want) > 0
+
+
+def test_query_cache_lru():
+    from aspseek_ray.pipelines.search import QueryCache
+
+    calls = []
+    qc = QueryCache(lambda x: calls.append(x) or x * 2, maxsize=2)
+    assert qc(1) == 2 and qc(1) == 2
+    assert (qc.hits, qc.misses) == (1, 1)
+    qc(2); qc(3)                           # evicts key 1 (LRU)
+    qc(1)
+    assert calls == [1, 2, 3, 1]
+
+
 def test_heap_spill_conformance(ray_session, tmp_path_factory):
     """Backlog spill (host_heap_cap): with a pathologically tiny cap the
     crawl must spill nearly every frontier entry through parquet runs and
