@@ -137,7 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": relational.customers_without_orders,
         "top2_customers_per_nation": relational.top2_customers_per_nation,
         "events_hourly": relational.events_hourly,
+        "events_hopping": relational.events_hopping,
         "events_sessions": relational.events_sessions,
+        "supplier_region_stats": relational.supplier_region_stats,
         "docs_with_all_terms": relational.docs_with_all_terms,
         # webtext / training-data ops (oracle-backed)
         "token_stats": textstats.token_stats,
@@ -248,6 +250,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_hopping": """
+            WITH x AS (SELECT event_type, value,
+                              time_bucket(INTERVAL 30 MINUTE, ts) AS w1
+                       FROM events),
+            u AS (SELECT event_type, value,
+                         unnest([w1, w1 - INTERVAL 30 MINUTE]) AS wstart
+                  FROM x)
+            SELECT event_type, wstart, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM u GROUP BY event_type, wstart
+        """,
+        "supplier_region_stats": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   ROUND(SUM(s_acctbal), 2) AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "events_sessions": """
             WITH x AS (

@@ -238,6 +238,76 @@ def events_hourly(sf_dir: str) -> pa.Table:
                         _round2(t["total_value"]))
 
 
+def events_hopping(sf_dir: str, window_s: int = 3600,
+                   hop_s: int = 1800) -> pa.Table:
+    """HOPPING (overlapping) windows over the events stream — each event
+    belongs to window_s/hop_s windows; the fan-out happens inside
+    map_batches (rows duplicated per window start, no shuffle), then one
+    grouped aggregate over (event_type, wstart). Output
+    (event_type, wstart, n_events, total_value)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    k = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        w1 = ts - (ts % hop_us)
+        parts = []
+        for i in range(k):
+            parts.append(pa.table({
+                "event_type": batch["event_type"],
+                "wstart": pa.array((w1 - i * hop_us).view("datetime64[us]")),
+                "value": batch["value"],
+            }))
+        t = pa.concat_tables(parts)
+        return t.group_by(["event_type", "wstart"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby(["event_type", "wstart"])
+             .aggregate(Sum("value_sum", alias_name="total_value"),
+                        Sum("value_count", alias_name="n_events"))).to_pandas()
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("total_value"), "total_value",
+                     _round2(t["total_value"]))
+    return t.select(["event_type", "wstart", "n_events", "total_value"])
+
+
+def supplier_region_stats(sf_dir: str) -> pa.Table:
+    """supplier ⋈ nation ⋈ region — two chained broadcast dim lookups
+    (both true dim tables), grouped per region. Output
+    (r_name, n_suppliers, total_acctbal)."""
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"]).to_pandas()
+    reg_of = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    name_of = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: name_of[v] for k, v in reg_of.items()})
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey", "s_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        df = pd.DataFrame({
+            "r_name": [lk[int(x)] for x in batch["s_nationkey"].to_pylist()],
+            "s_acctbal": batch["s_acctbal"].to_numpy()})
+        g = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"),
+            total_acctbal=("s_acctbal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("r_name")
+             .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                        Sum("total_acctbal", alias_name="total_acctbal"))).to_pandas()
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.set_column(t.schema.get_field_index("total_acctbal"),
+                        "total_acctbal", _round2(t["total_acctbal"]))
+
+
 # ------------------------------------------------ native hash join (Ray 2.49+)
 def customer_nation_join(sf_dir: str) -> pa.Table:
     """customer ⋈ nation via Ray Data's NATIVE Dataset.join (hash-
