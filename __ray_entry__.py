@@ -111,6 +111,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return search.excerpts(f"{res.out_dir}/store", tuple(_vocab()[:3]))
 
+    def crawl_ranked_search(sf_dir: str):
+        res = _run_crawl(sf_dir, "q_ranked")
+        from fixtures.gen import _vocab
+
+        return search.ranked_crawl_search(
+            f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
+            tuple(_vocab()[:3]))
+
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             extract_media_features,
@@ -164,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": crawl_host_stats,
         "crawl_recrawl_diff": crawl_recrawl_diff,
         "crawl_excerpts": crawl_excerpts,
+        "crawl_ranked_search": crawl_ranked_search,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dup_groups": dedup.near_dup_groups,
         "simhash_near_pairs": dedup.simhash_near_pairs,

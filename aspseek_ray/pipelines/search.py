@@ -254,6 +254,80 @@ def stemmed_search(sf_dir: str,
     return pa.table({"doc_id": pa.array(np.sort(acc), pa.int64())})
 
 
+def ranked_crawl_search(store_dir: str, pages_path: str,
+                        terms: tuple[str, ...], k: int = 10,
+                        damping_rank: float = 1.0,
+                        excerpt_width: int = 40) -> pa.Table:
+    """End-to-end searchd lifecycle over the CRAWL's own products
+    (SURVEY §3.2: postings fetch -> boolean merge -> score = term weight x
+    popularity rank -> excerpts from stored copies): builds postings from
+    the crawl store (url-keyed docs), scores docs containing ANY query
+    term by  sum_t tf*ln(N/df)  times  (1 + damping_rank * n * pagerank),
+    and attaches a stored-copy excerpt for the best term. The pagerank
+    factor is the reference's popularity blend (src/results.cpp role —
+    exact formula unpublished, pinned here). Output
+    (url, score, excerpt) top-k by (score desc, url)."""
+    import pyarrow.dataset as pads
+
+    from aspseek_ray.pipelines.index_products import pagerank
+
+    store = rd.read_parquet(store_dir, columns=["url", "text"])
+    n_docs = store.count()
+    if n_docs == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64()),
+                         "excerpt": pa.array([], pa.string())})
+    term_set = frozenset(terms)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        urls_, terms_, tfs = [], [], []
+        for u, t in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in tokenize(t or ""):
+                if w in term_set:
+                    counts[w] = counts.get(w, 0) + 1
+            for w, c in counts.items():
+                urls_.append(u)
+                terms_.append(w)
+                tfs.append(c)
+        return pa.table({"url": pa.array(urls_, pa.string()),
+                         "term": pa.array(terms_, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = store.map_batches(tf_rows, batch_format="pyarrow")
+    parts = [t for t in ray.get(tf.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64()),
+                         "excerpt": pa.array([], pa.string())})
+    tft = pa.concat_tables(parts).combine_chunks()
+    df_pdf = tft.to_pandas()
+    df_of = df_pdf.groupby("term")["url"].nunique()
+    idf = {t: math.log(n_docs / d) for t, d in df_of.items()}
+    df_pdf["w"] = df_pdf["tf"] * df_pdf["term"].map(idf)
+    scores = df_pdf.groupby("url", as_index=False)["w"].sum()
+
+    ranks = pagerank(pages_path).to_pandas()
+    rank_of = dict(zip(ranks["url"], ranks["rank"]))
+    n = len(rank_of) or 1
+    scores["score"] = scores["w"] * (
+        1.0 + damping_rank * n * scores["url"].map(rank_of).fillna(0.0))
+    scores = scores.sort_values(["score", "url"],
+                                ascending=[False, True]).head(k)
+    top = set(scores["url"])
+
+    ex = excerpts(store_dir, terms, width=excerpt_width)
+    ex_of: dict[str, str] = {}
+    for u, e in zip(ex["url"].to_pylist(), ex["excerpt"].to_pylist()):
+        ex_of.setdefault(u, e)            # first (term-alphabetical) excerpt
+    return pa.table({
+        "url": pa.array(scores["url"].tolist(), pa.string()),
+        "score": pa.array(np.round(scores["score"].to_numpy(), 4)),
+        "excerpt": pa.array([ex_of.get(u, "") for u in scores["url"]],
+                            pa.string()),
+    })
+
+
 class QueryCache:
     """LRU query-result cache (SURVEY T6; reference: src/qcache.cpp — the
     searchd query cache). Wraps any query callable; keys on the positional
