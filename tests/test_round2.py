@@ -294,6 +294,66 @@ def test_heap_spill_bounds_memory():
         popped.extend(out["discovery_seq"].to_pylist())
     # every url pops exactly once, in exact (depth, seq) order
     assert popped == sorted(1000 - i for i in range(200))
+
+
+def test_heap_spill_random_interleave():
+    """Randomized waves of offers interleaved with pops, tiny cap: the
+    global pop order must equal the reference model (per round: best
+    ``budget`` not-yet-popped entries by (depth, seq)) — exercises
+    spill_min routing, overflow runs, and reloads under churn."""
+    import json
+    from dataclasses import asdict
+
+    from aspseek_ray.config import CrawlConfig
+    from aspseek_ray.functions.hashing import fnv1a64
+    from aspseek_ray.state.shard import CrawlShard
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    cfg = CrawlConfig(per_host_per_round=5, host_heap_cap=6, max_hops=99)
+    s = CrawlShard(0, json.dumps(asdict(cfg)), spill_dir="/tmp/spill_rand")
+    ref: list[tuple[int, int, str]] = []   # (depth, seq, url) not yet popped
+    got, want = [], []
+    next_id = 0
+    for _ in range(30):
+        n = int(rng.integers(1, 40))
+        rows = []
+        for _i in range(n):
+            u = f"http://h.example/p{next_id}"
+            d = int(rng.integers(0, 4))
+            q = int(rng.integers(0, 10**6))
+            rows.append((u, d, q))
+            ref.append((d, q, u))
+            next_id += 1
+        t = pa.table({
+            "url": pa.array([r[0] for r in rows]),
+            "url_hash": pa.array([fnv1a64(r[0]) for r in rows], pa.int64()),
+            "host": pa.array(["h.example"] * n),
+            "depth": pa.array([r[1] for r in rows], pa.int32()),
+            "discovery_seq": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        s.offer(t)
+        out = s.pop_round()
+        got.extend(zip(out["depth"].to_pylist(),
+                       out["discovery_seq"].to_pylist(),
+                       out["url"].to_pylist()))
+        ref.sort()
+        want.extend(ref[:cfg.per_host_per_round])
+        ref = ref[cfg.per_host_per_round:]
+        assert all(len(h) <= cfg.host_heap_cap for h in s.heaps.values())
+    while True:
+        out = s.pop_round()
+        if out.num_rows == 0:
+            break
+        got.extend(zip(out["depth"].to_pylist(),
+                       out["discovery_seq"].to_pylist(),
+                       out["url"].to_pylist()))
+        ref.sort()
+        want.extend(ref[:cfg.per_host_per_round])
+        ref = ref[cfg.per_host_per_round:]
+    assert got == want
+
+
+def test_multimodal_resize_and_frames(ray_session):
     from aspseek_ray.pipelines.multimodal import (
         resize_images,
         sample_frames,
