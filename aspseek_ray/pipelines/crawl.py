@@ -308,21 +308,28 @@ class Crawler:
 
         # Round body: ONE streamed Dataset execution — fetch-join + trace/
         # store part writes + discover, then the offer stage, pipelined by
-        # the streaming executor (measured faster than an equivalent raw-
-        # task fan-out: offers overlap with still-running fetch tasks).
+        # the streaming executor. Offers are FIRE-AND-FORGET (a fetch task
+        # never blocks a worker slot on a busy shard actor — zipf link
+        # targets make one shard hot); the round barrier below polls the
+        # shards' processed-batch counters until every submitted offer has
+        # been applied, so pops stay strictly after all offers (loud
+        # timeout rather than silent divergence if anything is lost).
         shards = self.shards
         bounds = self.host_bounds
+        S = self.cfg.num_shards
+        base_prog = ray.get([s.offer_progress.remote() for s in shards])
 
         def offer_fn(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({"n_candidates": pa.array([0], pa.int64()),
-                                 "n_new": pa.array([0], pa.int64())})
-            sh = shard_of_hosts(bounds, batch["host"].to_pylist())
-            refs = [shards[int(s)].offer.remote(batch.filter(pa.array(sh == s)))
-                    for s in np.unique(sh)]
-            n_new = int(sum(ray.get(refs)))
-            return pa.table({"n_candidates": pa.array([batch.num_rows], pa.int64()),
-                             "n_new": pa.array([int(n_new)], pa.int64())})
+            submitted = np.zeros(S, dtype=np.int64)
+            if batch.num_rows:
+                sh = shard_of_hosts(bounds, batch["host"].to_pylist())
+                for s in np.unique(sh):
+                    shards[int(s)].offer.remote(batch.filter(pa.array(sh == s)))
+                    submitted[int(s)] += 1
+            return pa.table({
+                "n_candidates": pa.array([batch.num_rows], pa.int64()),
+                "submitted": pa.array([submitted.tolist()],
+                                      pa.list_(pa.int64()))})
 
         t1 = time.monotonic()
         ds = rd.from_arrow_refs(blocks)
@@ -331,9 +338,20 @@ class Crawler:
                                zero_copy_batch=True)
                   .map_batches(offer_fn, batch_format="pyarrow")
                   .take_all())
-        t_pipe = time.monotonic() - t1
         n_cand = int(sum(r["n_candidates"] for r in counts))
-        n_new = int(sum(r["n_new"] for r in counts))
+        expected = np.array([p[0] for p in base_prog], dtype=np.int64)
+        for r in counts:
+            expected += np.asarray(r["submitted"], dtype=np.int64)
+        deadline = time.monotonic() + 600
+        while True:   # offer barrier (usually already drained)
+            prog = ray.get([s.offer_progress.remote() for s in shards])
+            if all(prog[i][0] >= expected[i] for i in range(S)):
+                break
+            if time.monotonic() > deadline:
+                raise RuntimeError("offer barrier timeout — offers lost?")
+            time.sleep(0.005)
+        t_pipe = time.monotonic() - t1
+        n_new = int(sum(p[1] for p in prog))
         st = pq.read_table(trace_round_dir, columns=["status"])["status"]
         statuses = np.asarray(st)
         n_200 = int((statuses == 200).sum())

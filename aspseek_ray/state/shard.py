@@ -150,10 +150,18 @@ class CrawlShard:
         self.overflow: dict[str, list] = {}           # host -> pending >= spill_min
         self._run_seq = 0
         self.n_offered = 0
+        self.n_offer_batches = 0
         self.n_rejected_seen = 0
         self.n_rejected_filtered = 0
 
     # ------------------------------------------------------------------ offer
+    def offer_progress(self) -> tuple[int, int]:
+        """(offer batches processed, urls newly staged) — the round
+        barrier: the driver polls until every submitted offer batch has
+        been processed (offers are fire-and-forget from the fetch tasks so
+        worker slots never block on a busy shard actor)."""
+        return self.n_offer_batches, len(self.staged)
+
     def offer(self, batch: pa.Table) -> int:
         """Stage candidate urls (columns url, url_hash, host, depth,
         discovery_seq). Returns number of urls newly staged (not previously
@@ -165,6 +173,7 @@ class CrawlShard:
         path after resume)."""
         n = batch.num_rows
         self.n_offered += n
+        self.n_offer_batches += 1
         if n == 0:
             return 0
         batch = batch.combine_chunks()
