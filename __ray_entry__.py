@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_groups": dedup.near_dup_groups,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "lsh_topk": similarity.lsh_topk,
+        "ivf_topk": similarity.ivf_topk,
         "stemmed_search": search.stemmed_search,
         "fingerprints": textstats.fingerprints,
         "multimodal_features": multimodal_features,

@@ -78,6 +78,108 @@ def brute_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+             n_clusters: int = 16, n_probe: int = 4,
+             train_iters: int = 5) -> pa.Table:
+    """IVF-flat approximate top-k (the inverted-file ANN family, Jégou et
+    al. 2011 — public method): a k-means coarse quantizer is trained with
+    Lloyd iterations whose E-step runs as per-batch partial sums in
+    map_batches (only (cluster, sum, count) partials reach the driver —
+    centroid state is dim-table-sized); vectors then shuffle ONCE into
+    their cluster lists, and each query scans only its ``n_probe``
+    nearest clusters. Output (query_id, vec_id, score) — approximate
+    recall by design (rows-only check)."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    # deterministic init: first n_clusters normalized vectors
+    first = ds.take(n_clusters)
+    C = np.stack([r["embedding"] for r in first]).astype(np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(train_iters):
+        c_ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            C_ = ray.get(c_ref)
+            M = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(M @ C_.T, axis=1)          # cosine assignment
+            sums = np.zeros_like(C_)
+            np.add.at(sums, a, M)
+            cnt = np.bincount(a, minlength=C_.shape[0])
+            return pa.table({
+                "cluster": pa.array(np.arange(C_.shape[0], dtype=np.int64)),
+                "vsum": pa.array(sums.tolist(),
+                                 pa.list_(pa.float64())),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        acc = np.zeros_like(C)
+        cnt = np.zeros(C.shape[0], np.int64)
+        for b in (ds.map_batches(partial, batch_format="pyarrow")
+                    .iter_batches(batch_size=4096, batch_format="pyarrow")):
+            acc[b["cluster"].to_numpy()] += np.array(b["vsum"].to_pylist())
+            cnt[b["cluster"].to_numpy()] += b["n"].to_numpy()
+        nz = cnt > 0
+        C[nz] = acc[nz] / cnt[nz, None]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    c_ref = ray.put(C)
+    q_codes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]   # probe lists
+    probe: dict[int, list[int]] = {}
+    for qi, cl in enumerate(q_codes):
+        for c in cl:
+            probe.setdefault(int(c), []).append(qi)
+    probe_ref = ray.put((qids, Q, probe))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        M = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "embedding": batch["embedding"],
+                         "code": pa.array(np.argmax(M @ C_.T, axis=1)
+                                          .astype(np.int64))})
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, probe_ = ray.get(probe_ref)
+        q_idx = probe_.get(int(g["code"].iloc[0]), [])
+        if not q_idx:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        M = np.stack(g["embedding"].to_list()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        vids = g["vec_id"].to_numpy()
+        S = Q_[q_idx] @ M.T
+        rows_q, rows_v, rows_s = [], [], []
+        for r, qi in enumerate(q_idx):
+            kk = min(k + 1, S.shape[1])
+            part = np.argpartition(-S[r], kk - 1)[:kk]
+            cand = np.nonzero(S[r] >= S[r][part].min())[0]
+            order = np.lexsort((vids[cand], -S[r][cand]))
+            part = cand[order[:kk]]
+            rows_q.append(np.full(len(part), qids_[qi], np.int64))
+            rows_v.append(vids[part].astype(np.int64))
+            rows_s.append(S[r][part])
+        return pd.DataFrame({"query_id": np.concatenate(rows_q),
+                             "vec_id": np.concatenate(rows_v),
+                             "score": np.concatenate(rows_s)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]].drop_duplicates(["vec_id"])
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return g.assign(score=np.round(g["score"].to_numpy(), 4))
+
+    out = (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+             .groupby("code")
+             .map_groups(score_bucket, batch_format="pandas")
+             .groupby("query_id")
+             .map_groups(merge, batch_format="pandas"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 77) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal((n_bits, dim))

@@ -374,6 +374,25 @@ def test_multimodal_resize_and_frames(ray_session):
     assert (per.size() <= 16).all()
 
 
+def test_ivf_topk_recall(ray_session):
+    """IVF ANN: valid shape, deterministic, and with full probing
+    (n_probe == n_clusters) it must equal exact brute force."""
+    from aspseek_ray.pipelines.similarity import brute_topk, ivf_topk
+
+    full = ivf_topk(SF, n_probe=8, n_clusters=8)
+    exact = brute_topk(SF)
+    f = {(q, v) for q, v in zip(full["query_id"].to_pylist(),
+                                full["vec_id"].to_pylist())}
+    e = {(q, v) for q, v in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist())}
+    assert f == e
+    # partial probing: a subset of queries' neighbors, still k rows per query
+    part = ivf_topk(SF, n_probe=2, n_clusters=8).to_pandas()
+    assert (part.groupby("query_id").size() <= 5).all()
+    recall = len(set(zip(part["query_id"], part["vec_id"])) & e) / len(e)
+    assert recall >= 0.5
+
+
 def test_cuckoo_bulk_insert_matches_scalar():
     from aspseek_ray.state.cuckoo import CuckooFilter
 
