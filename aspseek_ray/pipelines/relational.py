@@ -23,7 +23,13 @@ from ray.data.aggregate import Count, Sum
 
 
 def _round2(x):
-    return pc.round(x, ndigits=2)
+    """ROUND(x, 2) with DuckDB's exact double semantics: half away from
+    zero, computed as round(x*100)/100 (pc.round multiplies by 0.01
+    instead of dividing by 100 and lands 1 ULP off the SQL result on many
+    values — bitwise value-hash comparisons then fail)."""
+    v = np.asarray(x.to_numpy(zero_copy_only=False)
+                   if hasattr(x, "to_numpy") else x, dtype=np.float64)
+    return pa.array(np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5) / 100.0)
 
 
 # --------------------------------------------------------------------- O21/O29
