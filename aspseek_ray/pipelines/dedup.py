@@ -171,7 +171,10 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                 if jac >= threshold:
                     out_a.append(docs[i])
                     out_b.append(docs[j])
-                    out_j.append(round(jac, 4))
+                    # SQL ROUND semantics (half away, divide) — small-int
+                    # ratios DO hit exact .00005 boundaries where python
+                    # round (half-even) diverges bitwise from the oracle
+                    out_j.append(np.floor(jac * 1e4 + 0.5) / 1e4)
         return pd.DataFrame({"doc_a": pd.Series(out_a, dtype=np.int64),
                              "doc_b": pd.Series(out_b, dtype=np.int64),
                              "jaccard": pd.Series(out_j, dtype=np.float64)})
