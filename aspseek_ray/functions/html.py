@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["extract_text", "extract_links", "BLOCK_TAGS"]
+__all__ = ["extract_text", "extract_links", "extract_text_and_links",
+           "BLOCK_TAGS"]
 
 BLOCK_TAGS = frozenset(
     "html head body title h1 h2 h3 h4 h5 h6 p div br li ul ol "
@@ -75,10 +76,7 @@ def _strip_noise(s: str) -> str:
     return _COMMENT_RE.sub("", s)
 
 
-def extract_text(html: bytes | str) -> str:
-    """Normative HTML->text pass (FIXTURES.md §3.2). Byte-stable."""
-    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
-    s = _strip_noise(s)
+def _text_from_stripped(s: str) -> str:
     s = _TAG_RE.sub(_tag_repl, s)
     s = _ENTITY_RE.sub(_entity_repl, s)
     s = _SPACES_RE.sub(" ", s)
@@ -87,21 +85,17 @@ def extract_text(html: bytes | str) -> str:
     return s.strip()
 
 
+def extract_text(html: bytes | str) -> str:
+    """Normative HTML->text pass (FIXTURES.md §3.2). Byte-stable."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    return _text_from_stripped(_strip_noise(s))
+
+
 def _decode_entities(s: str) -> str:
     return _ENTITY_RE.sub(_entity_repl, s)
 
 
-def extract_links(html: bytes | str) -> tuple[str | None, list[str]]:
-    """(base_href, hrefs) in document order.
-
-    Hrefs come from <a>/<area> ``href`` and <frame> ``src`` attributes
-    (reference: src/hrefs.cpp collection points), scanned AFTER removing
-    script/style/comment regions; <base href> (first occurrence) is returned
-    separately. Attribute values are entity-decoded with the same rules as
-    text. No canonicalization here — that is O1 (functions/url.py).
-    """
-    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
-    s = _strip_noise(s)
+def _links_from_stripped(s: str) -> tuple[str | None, list[str]]:
     base = None
     bm = _BASE_RE.search(s)
     if bm:
@@ -114,3 +108,28 @@ def extract_links(html: bytes | str) -> tuple[str | None, list[str]]:
         if am:
             hrefs.append(_decode_entities(am.group(1).strip("\"'")))
     return base, hrefs
+
+
+def extract_links(html: bytes | str) -> tuple[str | None, list[str]]:
+    """(base_href, hrefs) in document order.
+
+    Hrefs come from <a>/<area> ``href`` and <frame> ``src`` attributes
+    (reference: src/hrefs.cpp collection points), scanned AFTER removing
+    script/style/comment regions; <base href> (first occurrence) is returned
+    separately. Attribute values are entity-decoded with the same rules as
+    text. No canonicalization here — that is O1 (functions/url.py).
+    """
+    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    return _links_from_stripped(_strip_noise(s))
+
+
+def extract_text_and_links(
+        html: bytes | str) -> tuple[str, str | None, list[str]]:
+    """Fused single-pass (text, base_href, hrefs) — the fetch stage's hot
+    path: decode + script/style/comment stripping (the expensive full-body
+    regex subs) run ONCE for both products, with outputs identical to
+    ``extract_text`` / ``extract_links`` on the same input."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    s = _strip_noise(s)
+    base, hrefs = _links_from_stripped(s)
+    return _text_from_stripped(s), base, hrefs

@@ -111,21 +111,32 @@ class FetchTraceDiscover:
         pq.write_table(trace.select(TRACE_COLS), tmp)
         tmp.rename(self.trace_dir / f"part-{bucket}.parquet")
 
+        parsed = None
         if self.store_dir is not None:
-            from aspseek_ray.functions.html import extract_text
+            # Fused single HTML pass (VERDICT r2 #4): decode + noise-strip
+            # each 200 body ONCE, producing the stored text AND the links
+            # that parse_discover would otherwise re-extract.
+            from aspseek_ray.functions.html import extract_text_and_links
 
-            ok = fetched.filter(pc.equal(fetched["status"], 200))
+            ok_idx = np.flatnonzero(np.asarray(fetched["status"]) == 200)
+            htmls = fetched["html"].to_pylist()
+            texts: list[str] = []
+            parsed = {}
+            for i in ok_idx:
+                text, base, hrefs = extract_text_and_links(htmls[i])
+                texts.append(text)
+                parsed[int(i)] = (base, hrefs)
+            ok = fetched.take(pa.array(ok_idx, pa.int64()))
             store = pa.table({
                 "url_hash": ok["url_hash"],
                 "url": ok["url"],
-                "text": pa.array([extract_text(h) for h in ok["html"].to_pylist()],
-                                 pa.string()),
+                "text": pa.array(texts, pa.string()),
             })
             tmp = self.store_dir / f".part-{bucket}.parquet.tmp"
             pq.write_table(store, tmp, compression="zstd")
             tmp.rename(self.store_dir / f"part-{bucket}.parquet")
 
-        return parse_discover(fetched, self.max_hops)
+        return parse_discover(fetched, self.max_hops, parsed=parsed)
 
 
 class Crawler:

@@ -6,8 +6,10 @@ aggregation with partial pre-agg, O16/O24 top-k, O31 per-group head).
 Every function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
 column names match the oracle SQL in __ray_entry__.py exactly.
 
-Scale notes: dimension sides are broadcast (ray.put once, dict lookup per
-batch) — never shuffled; fact-side aggregations pre-aggregate inside
+Scale notes: dimension sides are broadcast lookups built ON WORKER TASKS
+from block refs (runtime.unique_keys_ref / sorted_lookup_ref — the driver
+holds ObjectRefs only, never key arrays) and probed vectorized
+(np.isin / np.searchsorted); fact-side aggregations pre-aggregate inside
 map_batches (one row per key per batch) before the small global groupby.
 """
 
@@ -20,6 +22,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
+
+from ..runtime import sorted_lookup_ref, unique_keys_ref
 
 
 def _round2(x):
@@ -106,21 +110,17 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     """TPC-H-Q3-flavor 3-way join + filtered grouped top-k: revenue of
     not-yet-shipped lineitems for one market segment's orders placed
     before ``cutoff``. Physical plan: both dim sides (customer keys of the
-    segment; qualifying orders) reduce to broadcast lookups built
-    DISTRIBUTED (iter_batches over pruned reads), then one pass over
-    lineitem with per-batch partial aggregation — the fact table never
-    shuffles; the final groupby moves only partial rows."""
+    segment; qualifying orders) reduce to broadcast lookups built ON
+    WORKER TASKS from block refs (the driver holds only ObjectRefs), then
+    one pass over lineitem with per-batch partial aggregation — the fact
+    table never shuffles; the final groupby moves only partial rows."""
     cut = np.datetime64(f"{cutoff}T00:00:00")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"])
-    seg_keys = set()
-    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        m = pc.equal(b["c_mktsegment"], segment)
-        seg_keys.update(b.filter(m)["c_custkey"].to_pylist())
+                           columns=["c_custkey"],
+                           filter=pc.field("c_mktsegment") == segment)
+    seg_ref = unique_keys_ref(cust, "c_custkey")
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    order_info: dict[int, int] = {}   # o_orderkey -> orderdate (ns int)
-    seg_ref = ray.put(np.fromiter(seg_keys, np.int64, len(seg_keys)))
 
     def order_filter(b: pa.Table) -> pa.Table:
         keys = ray.get(seg_ref)
@@ -129,31 +129,37 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         return b.filter(pa.array(mine & early)).select(
             ["o_orderkey", "o_orderdate"])
 
-    for b in (orders.map_batches(order_filter, batch_format="pyarrow")
-                    .iter_batches(batch_size=65536, batch_format="pyarrow")):
-        order_info.update(zip(b["o_orderkey"].to_pylist(),
-                              b["o_orderdate"].to_numpy().astype("int64").tolist()))
-    info_ref = ray.put(order_info)
+    info_ref = sorted_lookup_ref(
+        orders.map_batches(order_filter, batch_format="pyarrow"),
+        "o_orderkey", "o_orderdate")
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount", "l_shipdate"])
 
     class Partial:
-        def __init__(self):
-            self.info = ray.get(info_ref)   # once per actor
+        def __init__(self):                 # once per actor
+            okeys, odates = ray.get(info_ref)
+            self.okeys = okeys
+            self.odates = odates.astype("int64")   # MICROSECOND ints
 
         def __call__(self, b: pa.Table) -> pa.Table:
             late = b["l_shipdate"].to_numpy() > cut
             b = b.filter(pa.array(late))
-            keys = b["l_orderkey"].to_numpy()
-            dates = np.fromiter((self.info.get(int(x), -1) for x in keys),
-                                np.int64, len(keys))
-            hit = dates >= 0
+            keys = b["l_orderkey"].to_numpy().astype(np.int64)
+            ok = self.okeys
+            if len(ok) == 0:
+                hit = np.zeros(len(keys), dtype=bool)
+                dates = np.empty(0, np.int64)
+            else:
+                idx = np.searchsorted(ok, keys)
+                idx[idx == len(ok)] = len(ok) - 1
+                hit = ok[idx] == keys
+                dates = self.odates[idx[hit]]
             rev = (b["l_extendedprice"].to_numpy()
                    * (1.0 - b["l_discount"].to_numpy()))[hit]
             t = pa.table({"l_orderkey": pa.array(keys[hit]),
-                          "o_orderdate": pa.array(dates[hit]),
+                          "o_orderdate": pa.array(dates),
                           "revenue": pa.array(rev)})
             return t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
                 [("revenue", "sum")])
@@ -163,14 +169,14 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
              .aggregate(Sum("revenue_sum", alias_name="revenue"))).to_pandas()
     # round BEFORE the top-k cut — the oracle's ORDER BY uses the rounded
     # alias, so boundary ties must break on the rounded value
-    agg["revenue"] = np.round(agg["revenue"].to_numpy(), 2)
+    agg["revenue"] = _round2(agg["revenue"].to_numpy()).to_numpy()
     agg = agg.sort_values(["revenue", "l_orderkey"],
                           ascending=[False, True]).head(k)
     return pa.table({
         "l_orderkey": pa.array(agg["l_orderkey"].to_numpy(), pa.int64()),
         "o_orderdate": pa.array(           # int64 values are MICROSECONDS
             agg["o_orderdate"].to_numpy().astype("datetime64[us]")),
-        "revenue": pa.array(np.round(agg["revenue"].to_numpy(), 2)),
+        "revenue": _round2(agg["revenue"].to_numpy()),
     })
 
 
@@ -190,12 +196,9 @@ def customers_without_orders(sf_dir: str, min_price: float = 300_000.0) -> pa.Ta
     becomes a bucketed anti-join or a per-shard membership actor (exactly
     what the crawl engine does with CrawlShard)."""
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_totalprice"],
+                             columns=["o_custkey"],
                              filter=pc.field("o_totalprice") > min_price)
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64, count=len(keys)))
+    keys_ref = unique_keys_ref(orders, "o_custkey")   # built on a worker
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name", "c_acctbal"])

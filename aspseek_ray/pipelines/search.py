@@ -56,7 +56,7 @@ def _ensure_doc_postings(sf_dir: str) -> tuple[str, int]:
     doc_path = f"{sf_dir}/documents.parquet"
     st = os.stat(doc_path)
     key = hashlib.blake2s(
-        f"{Path(doc_path).resolve()}:{st.st_size}:{int(st.st_mtime)}".encode(),
+        f"{Path(doc_path).resolve()}:{st.st_size}:{st.st_mtime_ns}".encode(),
         digest_size=8).hexdigest()
     out = Path("/tmp/aspseek_ray_postings") / key
     manifest = out / "manifest.json"

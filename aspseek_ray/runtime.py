@@ -2,7 +2,46 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 import ray
+
+
+@ray.remote
+def _worker_unique_i64(refs: list, column: str) -> np.ndarray:
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows]
+    if not blocks:
+        return np.empty(0, np.int64)
+    return np.unique(
+        np.concatenate([b[column].to_numpy() for b in blocks]).astype(np.int64))
+
+
+def unique_keys_ref(ds, column: str) -> "ray.ObjectRef":
+    """Distinct int64 values of a Dataset column, reduced ON A WORKER task.
+    ``to_arrow_refs`` hands over block refs only, so no row ever passes
+    through the driver — it holds one ObjectRef to the sorted unique array
+    (the broadcast side of a map-side semi/anti join)."""
+    return _worker_unique_i64.remote(ds.to_arrow_refs(), column)
+
+
+@ray.remote
+def _worker_sorted_lookup(refs: list, key_col: str, val_col: str):
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows]
+    if not blocks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = pa.concat_tables(blocks)
+    k = t[key_col].to_numpy().astype(np.int64)
+    v = t[val_col].to_numpy()
+    order = np.argsort(k, kind="stable")
+    return k[order], v[order]
+
+
+def sorted_lookup_ref(ds, key_col: str, val_col: str) -> "ray.ObjectRef":
+    """(sorted unique keys, aligned values) lookup arrays built ON A WORKER
+    from a Dataset's block refs — the vectorized broadcast-join side:
+    readers ``ray.get`` the ref once per actor and probe with
+    ``np.searchsorted``. Keys are assumed unique (a primary key)."""
+    return _worker_sorted_lookup.remote(ds.to_arrow_refs(), key_col, val_col)
 
 
 def join_partitions(default: int = 8) -> int:
@@ -14,4 +53,4 @@ def join_partitions(default: int = 8) -> int:
         cpus = int(ray.cluster_resources().get("CPU", default))
     except Exception:
         cpus = default
-    return max(2, min(default, cpus))
+    return min(default, max(1, cpus))

@@ -26,7 +26,13 @@ from aspseek_ray.functions.url import canonicalize, host_of
 DISC_SHIFT = 1 << 20
 
 
-def parse_discover(batch: pa.Table, max_hops: int) -> pa.Table:
+def parse_discover(batch: pa.Table, max_hops: int,
+                   parsed: dict[int, tuple[str | None, list[str]]] | None = None,
+                   ) -> pa.Table:
+    """``parsed`` (optional): {row index -> (base_href, hrefs)} already
+    extracted by a fused upstream pass (crawl.FetchTraceDiscover stores
+    text + links from ONE noise-strip per body); rows absent from the dict
+    fall back to extract_links here."""
     urls = batch["url"].to_pylist()
     depths = batch["depth"].to_pylist()
     fseqs = batch["fetch_seq"].to_pylist()
@@ -53,8 +59,8 @@ def parse_discover(batch: pa.Table, max_hops: int) -> pa.Table:
             c_depths[j] = nd
             c_seqs[j] = seq
 
-    for url, depth, fseq, status, html, redir in zip(
-            urls, depths, fseqs, statuses, htmls, redirects):
+    for i, (url, depth, fseq, status, html, redir) in enumerate(zip(
+            urls, depths, fseqs, statuses, htmls, redirects)):
         if status == 301 and redir:
             # hop-preserving redirect target (O11/O25): depth unchanged
             add(redir, depth, (fseq + 1) * DISC_SHIFT)
@@ -64,7 +70,8 @@ def parse_discover(batch: pa.Table, max_hops: int) -> pa.Table:
         nd = depth + 1
         if nd > max_hops:
             continue  # no outlink can survive the depth filter (O3)
-        base, hrefs = extract_links(html)
+        pre = parsed.get(i) if parsed is not None else None
+        base, hrefs = pre if pre is not None else extract_links(html)
         eff = base or url
         for link_idx, h in enumerate(hrefs):
             c = canonicalize(h, eff)

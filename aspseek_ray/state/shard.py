@@ -212,7 +212,9 @@ class CrawlShard:
             pref = clean_of.get(host)
             if pref is not None:
                 slash = url.find("/", 8)      # first '/' after scheme://
-                if slash >= 0 and url[slash:].startswith(pref):
+                # pathless raw URL (canonicalize() always adds '/') → path is '/'
+                path = url[slash:] if slash >= 0 else "/"
+                if path.startswith(pref):
                     self.n_rejected_filtered += 1
                     continue
             dirty = dirty_of.get(host)

@@ -1,7 +1,8 @@
 """Tests for the normative HTML->text pass (O6, FIXTURES.md §3.2) and link
 extraction."""
 
-from aspseek_ray.functions.html import extract_text, extract_links
+from aspseek_ray.functions.html import (extract_text, extract_links,
+                                        extract_text_and_links)
 
 
 def test_basic_blocks_and_inline():
@@ -66,3 +67,20 @@ def test_links_not_taken_from_script():
 def test_href_entity_decode():
     _, hrefs = extract_links(b"<a href='/p?a=1&amp;b=2'>x</a>")
     assert hrefs == ["/p?a=1&b=2"]
+
+
+def test_fused_pass_matches_separate_passes():
+    cases = [
+        b"<html><head><title>Ti</title><base href='http://b.example/d/'>"
+        b"</head><body><p>a <b>bold</b> c &amp; more</p>"
+        b"<script>var x = '<a href=\"/no\">x</a>';</script>"
+        b"<a href='p1.html'>one</a><area href='a.html'>"
+        b"<frame src='f.html'><div>tail \xc3\xa9 \xff</div></body></html>",
+        b"",
+        b"plain text no tags",
+        "<p>str input &lt;ok&gt;</p><a href='/s'>s</a>",
+    ]
+    for html in cases:
+        text, base, hrefs = extract_text_and_links(html)
+        assert text == extract_text(html)
+        assert (base, hrefs) == extract_links(html)
