@@ -37,6 +37,55 @@ def corpus_for(sf_dir: str) -> str:
     return str(out)
 
 
+_ORACLE_SF = "0.01"  # the driver's correctness gate runs at this scale
+_CRAWL_CFG = dict(max_rounds=16, num_shards=4, num_page_buckets=8)
+
+
+def _sim_trace_parquet() -> str:
+    """Oracle input for the flagship crawl queries: the trace of the
+    NORMATIVE single-threaded simulator (tests/ref_sim.py — the
+    executable spec; plain heaps-and-dicts, no scheduling code shared
+    with the Ray engine) on the sf0.01 corpus under the same CrawlConfig
+    as ``_run_crawl``. Cached per corpus version; the oracle SQL reads
+    this parquet with read_parquet()."""
+    import importlib.util
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = corpus_for(f"sf{_ORACLE_SF}")
+    out = Path(f"/tmp/aspseek_ray_oracle/{_CORPUS_VERSION}_sf{_ORACLE_SF}"
+               "/trace.parquet")
+    if not out.exists():
+        from aspseek_ray.config import CrawlConfig
+
+        sim = sys.modules.get("aspseek_ref_sim")
+        if sim is None:
+            spec = importlib.util.spec_from_file_location(
+                "aspseek_ref_sim",
+                str(Path(__file__).parent / "tests" / "ref_sim.py"))
+            sim = importlib.util.module_from_spec(spec)
+            # register BEFORE exec: @dataclass resolves cls.__module__
+            # through sys.modules at class-creation time
+            sys.modules["aspseek_ref_sim"] = sim
+            spec.loader.exec_module(sim)
+        pages, seeds, robots, redirects = sim.load_corpus(corpus)
+        res = sim.simulate(pages, seeds, robots, CrawlConfig(**_CRAWL_CFG),
+                           redirects)
+        schema = pa.schema([
+            ("fetch_seq", pa.int64()), ("round", pa.int32()),
+            ("url", pa.string()), ("host", pa.string()),
+            ("depth", pa.int32()), ("discovery_seq", pa.int64()),
+            ("status", pa.int32())])
+        t = pa.Table.from_pylist(res.trace, schema=schema)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(".parquet.tmp")
+        pq.write_table(t, tmp)
+        tmp.rename(out)
+    return str(out)
+
+
 def _run_crawl(sf_dir: str, out_name: str):
     import shutil
 
@@ -46,8 +95,7 @@ def _run_crawl(sf_dir: str, out_name: str):
     corpus = corpus_for(sf_dir)
     out = f"/tmp/aspseek_ray_runs/{out_name}"
     shutil.rmtree(out, ignore_errors=True)
-    cfg = CrawlConfig(max_rounds=16, num_shards=4, num_page_buckets=8)
-    return run_crawl(corpus, out, cfg)
+    return run_crawl(corpus, out, CrawlConfig(**_CRAWL_CFG))
 
 
 def entry() -> Any:
@@ -67,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from aspseek_ray.pipelines import (
         dedup,
         index_products,
+        qparser,
         relational,
         search,
         similarity,
@@ -80,7 +129,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return index_products.pagerank(f"{corpus_for(sf_dir)}/pages.parquet")
 
     def crawl_clone_groups(sf_dir: str):
-        return index_products.clone_groups(f"{corpus_for(sf_dir)}/pages.parquet")
+        # content_hash is the engine's grouping key (O10 checksum); the
+        # oracle groups by the html bytes themselves, so expose the
+        # hash-free columns (identical groups absent 64-bit collisions).
+        t = index_products.clone_groups(f"{corpus_for(sf_dir)}/pages.parquet")
+        return t.select(["canonical_url", "n_clones"])
 
     def crawl_postings_df(sf_dir: str):
         import pyarrow as pa
@@ -119,6 +172,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
             tuple(_vocab()[:3]))
 
+    def crawl_site_search(sf_dir: str):
+        res = _run_crawl(sf_dir, "q_sitesearch")
+        from fixtures.gen import _vocab
+
+        return search.ranked_crawl_search(
+            f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
+            tuple(_vocab()[:3]), per_site=2)
+
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             extract_media_features,
@@ -155,24 +216,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs,
         "embedding_near_dup": lambda sf_dir: dedup.embedding_near_dup_pairs(sf_dir, threshold=0.4),
+        # the scale plan of the same op, forced on (rows-only: approximate
+        # recall by design; never builds a whole-table matrix or O(n^2))
+        "embedding_near_dup_large": lambda sf_dir: dedup.embedding_near_dup_pairs(
+            sf_dir, threshold=0.4, broadcast_max_rows=0, n_clusters=16,
+            n_assign=3),
         "ann_topk": similarity.brute_topk,
         "phrase_search": search.phrase_search,
         "boolean_and_search": search.boolean_and_search,
         "boolean_or_search": search.boolean_or_search,
         "boolean_not_search": search.boolean_not_search,
         "tfidf_search": search.tfidf_search,
+        "parsed_search": lambda sf_dir: qparser.search_query(
+            sf_dir, 'spark AND (window OR scan) NOT "scan slow"'),
         "quality_scores": textstats.quality_scores,
         "language_id": textstats.language_id,
-        # rows-only (non-SQL-expressible: iterative / approximate / stateful)
+        # crawl family — oracle-backed against the normative simulator's
+        # trace (scheduling) or the corpus parquet (content):
         "crawl_trace": crawl_trace,
-        "crawl_pagerank": crawl_pagerank,
+        "crawl_pagerank": crawl_pagerank,  # rows-only: iterative float
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
         "crawl_status_stats": crawl_status_stats,
         "crawl_host_stats": crawl_host_stats,
         "crawl_recrawl_diff": crawl_recrawl_diff,
+        # rows-only (non-SQL-expressible: iterative / approximate /
+        # stateful / string-slicing detail beyond RE2)
         "crawl_excerpts": crawl_excerpts,
         "crawl_ranked_search": crawl_ranked_search,
+        "crawl_site_search": crawl_site_search,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dup_groups": dedup.near_dup_groups,
         "simhash_near_pairs": dedup.simhash_near_pairs,
@@ -207,7 +279,43 @@ _STOP_FR_SQL = ("['" + "','".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    # Crawl-family oracles: the scheduling-dependent queries read the
+    # trace of the independent single-threaded normative simulator
+    # (tests/ref_sim.py, the executable spec); the content-derived ones
+    # read the corpus parquet directly. Both inputs are deterministic and
+    # pinned to the gate's sf0.01 corpus.
+    sim_trace = _sim_trace_parquet()
+    pages = f"{corpus_for(f'sf{_ORACLE_SF}')}/pages.parquet"
     return {
+        "crawl_trace": f"""
+            SELECT fetch_seq, "round", url, host, depth, discovery_seq, status
+            FROM read_parquet('{sim_trace}')
+        """,
+        "crawl_status_stats": f"""
+            SELECT status, COUNT(*) AS n
+            FROM read_parquet('{sim_trace}') GROUP BY status
+        """,
+        "crawl_host_stats": f"""
+            SELECT host, COUNT(*) AS n_fetched,
+                   COUNT(*) FILTER (WHERE status = 200) AS n_ok
+            FROM read_parquet('{sim_trace}') GROUP BY host
+        """,
+        "crawl_recrawl_diff": f"""
+            SELECT url, 'unchanged' AS "change"
+            FROM read_parquet('{sim_trace}') WHERE status = 200
+        """,
+        "crawl_postings_df": f"""
+            WITH tok AS (SELECT url, unnest(list_distinct({_TOKS})) AS word
+                         FROM read_parquet('{pages}'))
+            SELECT word, COUNT(*) AS df FROM tok
+            WHERE NOT list_contains({_STOP_EN_SQL}, word)
+            GROUP BY word
+        """,
+        "crawl_clone_groups": f"""
+            SELECT MIN(url) AS canonical_url, COUNT(*) AS n_clones
+            FROM read_parquet('{pages}')
+            GROUP BY html HAVING COUNT(*) >= 2
+        """,
         "lineitem_agg": f"""
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
@@ -345,6 +453,14 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": f"""
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9])scan[^a-z0-9]+slow($|[^a-z0-9])')
+        """,
+        "parsed_search": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark($|[^a-z0-9])')
+              AND (regexp_matches(lower(text), '(^|[^a-z0-9])window($|[^a-z0-9])')
+                   OR regexp_matches(lower(text), '(^|[^a-z0-9])scan($|[^a-z0-9])'))
+              AND NOT regexp_matches(lower(text),
                   '(^|[^a-z0-9])scan[^a-z0-9]+slow($|[^a-z0-9])')
         """,
         "boolean_and_search": f"""

@@ -512,15 +512,35 @@ def _normalized_matrix(path: str) -> tuple[np.ndarray, np.ndarray]:
     return ids, M
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
-    """Cosine near-dup over the embeddings table: blocked matmul of
-    L2-normalized vectors against a broadcast matrix (built on a worker,
-    shared zero-copy via the object store). O(n^2) scoring done
-    batch x full — the exact baseline, right up to the largest matrix a
-    worker heap holds; beyond that the scale path is LSH bucketing
-    (similarity.lsh_topk). Output (vec_a, vec_b, cosine), vec_a < vec_b."""
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
+                             broadcast_max_rows: int = 500_000,
+                             n_clusters: int = 32, n_assign: int = 2,
+                             train_iters: int = 4) -> pa.Table:
+    """Cosine near-dup over the embeddings table. Two physical plans
+    behind a size switch (the pagerank pattern):
+
+    * <= ``broadcast_max_rows``: EXACT blocked matmul of L2-normalized
+      vectors against a broadcast matrix (built on a worker, shared
+      zero-copy via the object store) — the oracle baseline, O(n^2)
+      scoring batch x full, right up to the largest matrix a worker heap
+      holds.
+    * beyond: IVF-bucketed pair search — no whole-table matrix and no
+      O(n^2) anywhere: a k-means coarse quantizer
+      (similarity.train_centroids) assigns each vector to its
+      ``n_assign`` nearest clusters (multi-assignment so boundary pairs
+      still co-bucket), vectors shuffle ONCE into cluster groups, and
+      all-pairs scoring runs within each group only. A pair sharing
+      several clusters is emitted exactly once — by its MINIMAL common
+      cluster (the PPJoin minimal-common-token trick used by
+      jaccard_pairs). Approximate: pairs whose members share no cluster
+      are missed (recall rises with n_assign / n_clusters tuning).
+
+    Output (vec_a, vec_b, cosine), vec_a < vec_b."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
+    if emb.count() > broadcast_max_rows:
+        return _embedding_near_dup_bucketed(emb, threshold, n_clusters,
+                                            n_assign, train_iters)
     mat_ref = _normalized_matrix.remote(f"{sf_dir}/embeddings.parquet")
 
     def block(batch: pa.Table) -> pa.Table:
@@ -538,3 +558,67 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
 
     out = emb.map_batches(block, batch_format="pyarrow", batch_size=1024)
     return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+def _embedding_near_dup_bucketed(emb: rd.Dataset, threshold: float,
+                                 n_clusters: int, n_assign: int,
+                                 train_iters: int) -> pa.Table:
+    """IVF-bucketed near-dup pair scan (the scale path of
+    embedding_near_dup_pairs). One shuffle into cluster groups; per-group
+    all-pairs is bounded by the cluster size, never the table size."""
+    from aspseek_ray.pipelines.similarity import train_centroids
+
+    C = train_centroids(emb, n_clusters, train_iters)
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        M = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        na = min(n_assign, C_.shape[0])
+        top = np.argsort(-(M @ C_.T), axis=1)[:, :na]       # (n, na)
+        codes = np.sort(top, axis=1).astype(np.int64)       # sorted per vec
+        n = len(M)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(batch["vec_id"].to_numpy(), na)),
+            "embedding": pa.array(np.repeat(M, na, axis=0).tolist(),
+                                  pa.list_(pa.float64())),
+            "code": pa.array(codes.reshape(-1)),
+            "codes": pa.array(np.tile(codes, (1, 1)).tolist(),
+                              pa.list_(pa.int64())).take(
+                pa.array(np.repeat(np.arange(n), na))),
+        })
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        code = int(g["code"].iloc[0])
+        M = np.stack(g["embedding"].to_list())              # pre-normalized
+        vids = g["vec_id"].to_numpy()
+        codes_of = [set(c) for c in g["codes"]]
+        S = M @ M.T
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(ii, jj):
+            if vids[i] == vids[j]:
+                continue                                    # same vec, 2 codes
+            common = codes_of[i] & codes_of[j]
+            if min(common) != code:                         # emit ONCE
+                continue
+            a, b = int(vids[i]), int(vids[j])
+            if a > b:
+                a, b = b, a
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(round(float(S[i, j]), 4))
+        return pd.DataFrame({"vec_a": np.asarray(out_a, np.int64),
+                             "vec_b": np.asarray(out_b, np.int64),
+                             "cosine": np.asarray(out_c, np.float64)})
+
+    out = (emb.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+              .groupby("code")
+              .map_groups(score_group, batch_format="pandas"))
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return pa.concat_tables(parts).combine_chunks()

@@ -1,0 +1,268 @@
+"""Query-string parser (SURVEY.md §3.2, reference: src/qparser.cpp — the
+front door a search user actually touches). Grammar (ASPseek search-form
+semantics, pinned here):
+
+    expr   := orexpr
+    orexpr := andexpr (OR andexpr)*
+    andexpr:= unary ((AND)? unary)*          # juxtaposition is AND
+    unary  := (NOT | '-') unary | atom
+    atom   := '(' expr ')' | '"' w1 w2 ... '"' | term
+
+``AND`` / ``&``, ``OR`` / ``|``, ``NOT`` / ``!`` / a ``-`` prefix are
+case-insensitive operators; anything else is a query term, normalized by
+the engine tokenizer (lowercase, [a-z0-9]+ runs — a term that normalizes
+to several tokens, e.g. "foo-bar", becomes a phrase, like the reference's
+word-break handling). Negation must have a positive sibling in its AND
+group (the reference rejects pure-negative queries); a NOT directly under
+OR is rejected.
+
+``search_query`` compiles the AST onto the posting-list primitives of
+pipelines/search.py: ONE pruned index fetch for all leaf terms, then
+numpy set algebra (intersect rarest-first / union / setdiff) and the
+phrase position check — no rescan of the corpus.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from aspseek_ray.functions.text import tokenize
+
+__all__ = ["parse_query", "search_query", "QueryError",
+           "Term", "Phrase", "And", "Or", "Not"]
+
+
+class QueryError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Term:
+    word: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    words: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Not:
+    child: "Node"
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple["Node", ...]
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple["Node", ...]
+
+
+Node = Term | Phrase | Not | And | Or
+
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
+_OPS = {"and": "AND", "&": "AND", "&&": "AND",
+        "or": "OR", "|": "OR", "||": "OR",
+        "not": "NOT", "!": "NOT"}
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    for m in _TOKEN_RE.finditer(q):
+        t = m.group(0)
+        if t == "(":
+            toks.append(("LP", t))
+        elif t == ")":
+            toks.append(("RP", t))
+        elif t.startswith('"'):
+            toks.append(("PHRASE", t[1:-1]))
+        elif t.lower() in _OPS:
+            toks.append((_OPS[t.lower()], t))
+        elif t[0] in "-!" and len(t) > 1:
+            toks.append(("NOT", t[0]))
+            toks.append(("WORD", t[1:]))
+        else:
+            toks.append(("WORD", t))
+    return toks
+
+
+def _atom_of_words(words: list[str], raw: str) -> Node:
+    if not words:
+        raise QueryError(f"term {raw!r} has no indexable characters")
+    if len(words) == 1:
+        return Term(words[0])
+    return Phrase(tuple(words))   # word-break terms become phrases
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Node:
+        node = self.orexpr()
+        if self.peek() is not None:
+            raise QueryError(f"unexpected {self.toks[self.i][1]!r}")
+        return node
+
+    def orexpr(self) -> Node:
+        parts = [self.andexpr()]
+        while self.peek() == "OR":
+            self.next()
+            parts.append(self.andexpr())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def andexpr(self) -> Node:
+        parts = [self.unary()]
+        while True:
+            k = self.peek()
+            if k == "AND":
+                self.next()
+                parts.append(self.unary())
+            elif k in ("WORD", "PHRASE", "LP", "NOT"):  # juxtaposition
+                parts.append(self.unary())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def unary(self) -> Node:
+        if self.peek() == "NOT":
+            self.next()
+            return Not(self.unary())
+        return self.atom()
+
+    def atom(self) -> Node:
+        k = self.peek()
+        if k is None:
+            raise QueryError("unexpected end of query")
+        kind, raw = self.next()
+        if kind == "LP":
+            node = self.orexpr()
+            if self.peek() != "RP":
+                raise QueryError("missing ')'")
+            self.next()
+            return node
+        if kind == "PHRASE":
+            return _atom_of_words(tokenize(raw), raw)
+        if kind == "WORD":
+            return _atom_of_words(tokenize(raw), raw)
+        raise QueryError(f"unexpected {raw!r}")
+
+
+def parse_query(q: str) -> Node:
+    """Parse a query string into the boolean/phrase AST. Raises QueryError
+    on empty queries, unbalanced parens, or dangling operators."""
+    toks = _lex(q)
+    if not toks:
+        raise QueryError("empty query")
+    node = _Parser(toks).parse()
+    _validate(node, under_or=False, top=True)
+    return node
+
+
+def _validate(node: Node, under_or: bool, top: bool) -> None:
+    if isinstance(node, Not):
+        if top or under_or:
+            raise QueryError(
+                "negation needs a positive sibling in an AND group")
+        _validate(node.child, under_or=False, top=False)
+    elif isinstance(node, And):
+        if all(isinstance(c, Not) for c in node.children):
+            raise QueryError("pure-negative AND group")
+        for c in node.children:
+            _validate(c, under_or=False, top=False)
+    elif isinstance(node, Or):
+        for c in node.children:
+            _validate(c, under_or=True, top=False)
+
+
+def leaf_terms(node: Node) -> set[str]:
+    """Every surface word the evaluator needs postings for."""
+    if isinstance(node, Term):
+        return {node.word}
+    if isinstance(node, Phrase):
+        return set(node.words)
+    if isinstance(node, Not):
+        return leaf_terms(node.child)
+    return set().union(*(leaf_terms(c) for c in node.children))
+
+
+def _phrase_docs(words: tuple[str, ...],
+                 pos_of: dict[tuple[str, int], np.ndarray],
+                 sets: dict[str, np.ndarray]) -> np.ndarray:
+    """Sorted doc ids containing the contiguous phrase (the positions
+    check of search.phrase_search, shared via this evaluator)."""
+    acc: np.ndarray | None = None
+    for w in set(words):
+        dl = sets.get(w, np.empty(0, np.int64))
+        acc = dl if acc is None else np.intersect1d(acc, dl, assume_unique=True)
+        if acc.size == 0:
+            return acc
+    keep = []
+    for d in acc:
+        d = int(d)
+        starts = pos_of[(words[0], d)]
+        for i, w in enumerate(words[1:], start=1):
+            starts = starts[np.isin(starts + i, pos_of[(w, d)])]
+            if starts.size == 0:
+                break
+        else:
+            keep.append(d)
+    return np.asarray(keep, np.int64)
+
+
+def _eval(node: Node, pos_of, sets) -> np.ndarray:
+    if isinstance(node, Term):
+        return sets.get(node.word, np.empty(0, np.int64))
+    if isinstance(node, Phrase):
+        return _phrase_docs(node.words, pos_of, sets)
+    if isinstance(node, Or):
+        return np.unique(np.concatenate(
+            [_eval(c, pos_of, sets) for c in node.children]))
+    if isinstance(node, And):
+        pos = [c for c in node.children if not isinstance(c, Not)]
+        neg = [c.child for c in node.children if isinstance(c, Not)]
+        evals = sorted((_eval(c, pos_of, sets) for c in pos), key=len)
+        acc = evals[0]
+        for e in evals[1:]:
+            acc = np.intersect1d(acc, e, assume_unique=True)
+        for n in neg:
+            acc = np.setdiff1d(acc, _eval(n, pos_of, sets),
+                               assume_unique=True)
+        return np.sort(acc)
+    raise QueryError("negation outside an AND group")   # bare Not
+
+
+def search_query(sf_dir: str, q: str) -> pa.Table:
+    """Parse ``q`` and run it against the documents postings index: one
+    pruned index fetch for all leaf terms, then set algebra. Returns
+    (doc_id) sorted ascending."""
+    from aspseek_ray.pipelines.search import _term_postings
+
+    ast = parse_query(q)
+    terms = tuple(sorted(leaf_terms(ast)))
+    post, _ = _term_postings(sf_dir, terms)
+    pos_of: dict[tuple[str, int], np.ndarray] = {}
+    docs_of: dict[str, list[int]] = {}
+    for w, d, ps in zip(post["word"].to_pylist(), post["doc_seq"].to_pylist(),
+                        post["positions"].to_pylist()):
+        pos_of[(w, d)] = np.asarray(ps, np.int64)
+        docs_of.setdefault(w, []).append(d)
+    sets = {w: np.sort(np.asarray(ds, np.int64)) for w, ds in docs_of.items()}
+    out = _eval(ast, pos_of, sets)
+    return pa.table({"doc_id": pa.array(np.sort(out), pa.int64())})

@@ -257,7 +257,8 @@ def stemmed_search(sf_dir: str,
 def ranked_crawl_search(store_dir: str, pages_path: str,
                         terms: tuple[str, ...], k: int = 10,
                         damping_rank: float = 1.0,
-                        excerpt_width: int = 40) -> pa.Table:
+                        excerpt_width: int = 40,
+                        per_site: int | None = None) -> pa.Table:
     """End-to-end searchd lifecycle over the CRAWL's own products
     (SURVEY §3.2: postings fetch -> boolean merge -> score = term weight x
     popularity rank -> excerpts from stored copies): builds postings from
@@ -266,7 +267,13 @@ def ranked_crawl_search(store_dir: str, pages_path: str,
     and attaches a stored-copy excerpt for the best term. The pagerank
     factor is the reference's popularity blend (src/results.cpp role —
     exact formula unpublished, pinned here). Output
-    (url, score, excerpt) top-k by (score desc, url)."""
+    (url, score, excerpt) top-k by (score desc, url).
+
+    ``per_site``: the results-page site grouping (s.cgi "group by site",
+    O31 over crawl products): at most ``per_site`` results per host, hosts
+    ordered by their best result (score desc, host asc), docs within a
+    host by (score desc, url); the first k rows in host-major order, with
+    a leading ``host`` column."""
     import pyarrow.dataset as pads
 
     from aspseek_ray.pipelines.index_products import pagerank
@@ -312,20 +319,36 @@ def ranked_crawl_search(store_dir: str, pages_path: str,
     n = len(rank_of) or 1
     scores["score"] = scores["w"] * (
         1.0 + damping_rank * n * scores["url"].map(rank_of).fillna(0.0))
-    scores = scores.sort_values(["score", "url"],
-                                ascending=[False, True]).head(k)
-    top = set(scores["url"])
+
+    if per_site is not None:
+        from aspseek_ray.functions.url import host_of
+
+        scores["host"] = scores["url"].map(host_of)
+        scores = scores.sort_values(["score", "url"], ascending=[False, True])
+        scores = scores.groupby("host", sort=False).head(per_site)
+        best = scores.groupby("host")["score"].max()
+        order = sorted(best.index, key=lambda h: (-best[h], h))
+        pos = {h: i for i, h in enumerate(order)}
+        scores["h_pos"] = scores["host"].map(pos)
+        scores = scores.sort_values(["h_pos", "score", "url"],
+                                    ascending=[True, False, True]).head(k)
+    else:
+        scores = scores.sort_values(["score", "url"],
+                                    ascending=[False, True]).head(k)
 
     ex = excerpts(store_dir, terms, width=excerpt_width)
     ex_of: dict[str, str] = {}
     for u, e in zip(ex["url"].to_pylist(), ex["excerpt"].to_pylist()):
         ex_of.setdefault(u, e)            # first (term-alphabetical) excerpt
-    return pa.table({
+    cols = {
         "url": pa.array(scores["url"].tolist(), pa.string()),
         "score": pa.array(np.round(scores["score"].to_numpy(), 4)),
         "excerpt": pa.array([ex_of.get(u, "") for u in scores["url"]],
                             pa.string()),
-    })
+    }
+    if per_site is not None:
+        cols = {"host": pa.array(scores["host"].tolist(), pa.string()), **cols}
+    return pa.table(cols)
 
 
 class QueryCache:

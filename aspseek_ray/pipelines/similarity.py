@@ -78,22 +78,12 @@ def brute_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
-def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
-             n_clusters: int = 16, n_probe: int = 4,
-             train_iters: int = 5) -> pa.Table:
-    """IVF-flat approximate top-k (the inverted-file ANN family, Jégou et
-    al. 2011 — public method): a k-means coarse quantizer is trained with
-    Lloyd iterations whose E-step runs as per-batch partial sums in
-    map_batches (only (cluster, sum, count) partials reach the driver —
-    centroid state is dim-table-sized); vectors then shuffle ONCE into
-    their cluster lists, and each query scans only its ``n_probe``
-    nearest clusters. Output (query_id, vec_id, score) — approximate
-    recall by design (rows-only check)."""
-    qids, Q = _load_queries(sf_dir, n_queries)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-
-    # deterministic init: first n_clusters normalized vectors
+def train_centroids(ds: "rd.Dataset", n_clusters: int,
+                    train_iters: int) -> np.ndarray:
+    """Cosine k-means coarse quantizer (shared by ivf_topk and the dedup
+    scale path): deterministic init from the first ``n_clusters`` vectors,
+    then Lloyd iterations whose E-step runs as per-batch partial sums in
+    map_batches — only (cluster, sum, count) partials reach the driver."""
     first = ds.take(n_clusters)
     C = np.stack([r["embedding"] for r in first]).astype(np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
@@ -111,8 +101,7 @@ def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
             cnt = np.bincount(a, minlength=C_.shape[0])
             return pa.table({
                 "cluster": pa.array(np.arange(C_.shape[0], dtype=np.int64)),
-                "vsum": pa.array(sums.tolist(),
-                                 pa.list_(pa.float64())),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
                 "n": pa.array(cnt.astype(np.int64))})
 
         acc = np.zeros_like(C)
@@ -124,7 +113,24 @@ def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
         nz = cnt > 0
         C[nz] = acc[nz] / cnt[nz, None]
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
 
+
+def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+             n_clusters: int = 16, n_probe: int = 4,
+             train_iters: int = 5) -> pa.Table:
+    """IVF-flat approximate top-k (the inverted-file ANN family, Jégou et
+    al. 2011 — public method): a k-means coarse quantizer is trained with
+    Lloyd iterations whose E-step runs as per-batch partial sums in
+    map_batches (only (cluster, sum, count) partials reach the driver —
+    centroid state is dim-table-sized); vectors then shuffle ONCE into
+    their cluster lists, and each query scans only its ``n_probe``
+    nearest clusters. Output (query_id, vec_id, score) — approximate
+    recall by design (rows-only check)."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    C = train_centroids(ds, n_clusters, train_iters)
     c_ref = ray.put(C)
     q_codes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]   # probe lists
     probe: dict[int, list[int]] = {}

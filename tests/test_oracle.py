@@ -54,7 +54,11 @@ def test_every_oracle_key_has_query():
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_match(ray_session, con, name):
-    got = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    # crawl-family oracles are pinned to the driver's sf0.01 gate (their
+    # SQL reads the sf0.01 sim-trace / corpus parquet paths baked in by
+    # oracle_sql()), so run those queries at sf0.01 too
+    sf = ("/root/testdata/sf0.01" if name.startswith("crawl_") else SF_DIR)
+    got = _canon(_to_pandas(entrymod.queries()[name](sf)))
     want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"

@@ -1,0 +1,92 @@
+"""Round-3 additions: site-grouped results in the crawl search lifecycle
+(O31 over crawl products), embedding near-dup size switch, offer
+vectorization invariants."""
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _mini_crawl_products(tmp_path):
+    """Tiny store + pages pair: 4 urls on 3 hosts in a link cycle (uniform
+    pagerank by symmetry -> popularity factor is a constant 2.0)."""
+    urls = ["http://a.example/", "http://a.example/p.html",
+            "http://b.example/", "http://c.example/"]
+    texts = ["foo foo foo", "foo foo", "foo", "bar"]
+    nxt = urls[1:] + urls[:1]
+    htmls = [f'<p><a href="{n}">x</a></p>'.encode() for n in nxt]
+    store = tmp_path / "store"
+    store.mkdir()
+    pq.write_table(pa.table({"url": urls, "text": texts}),
+                   store / "part-0.parquet")
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(pa.table({"url": urls, "html": pa.array(htmls, pa.binary())}),
+                   pages)
+    return str(store), str(pages)
+
+
+def test_site_grouped_search_hand_oracle(ray_session, tmp_path):
+    from aspseek_ray.pipelines.search import ranked_crawl_search
+
+    store, pages = _mini_crawl_products(tmp_path)
+    idf = math.log(4 / 3)          # N=4 docs, df(foo)=3
+    s = {u: tf * idf * 2.0 for u, tf in
+         [("http://a.example/", 3), ("http://a.example/p.html", 2),
+          ("http://b.example/", 1)]}
+
+    out = ranked_crawl_search(store, pages, ("foo",), per_site=1)
+    assert out.schema.names == ["host", "url", "score", "excerpt"]
+    assert out["host"].to_pylist() == ["a.example", "b.example"]
+    assert out["url"].to_pylist() == ["http://a.example/", "http://b.example/"]
+    got = out["score"].to_pylist()
+    assert got[0] == round(s["http://a.example/"], 4)
+    assert got[1] == round(s["http://b.example/"], 4)
+    assert all("foo" in e for e in out["excerpt"].to_pylist())
+
+    out2 = ranked_crawl_search(store, pages, ("foo",), per_site=2)
+    assert out2["url"].to_pylist() == [
+        "http://a.example/", "http://a.example/p.html", "http://b.example/"]
+
+    # k cuts in host-major order
+    out3 = ranked_crawl_search(store, pages, ("foo",), k=2, per_site=2)
+    assert out3["url"].to_pylist() == ["http://a.example/",
+                                       "http://a.example/p.html"]
+
+    # per_site=None keeps the ungrouped contract (no host column)
+    out4 = ranked_crawl_search(store, pages, ("foo",))
+    assert out4.schema.names == ["url", "score", "excerpt"]
+    assert out4["url"].to_pylist() == [
+        "http://a.example/", "http://a.example/p.html", "http://b.example/"]
+
+
+def test_embedding_near_dup_size_switch(ray_session):
+    """The bucketed (IVF) plan of embedding_near_dup_pairs: with one
+    cluster it must EQUAL the exact broadcast plan (same pairs, same
+    cosines); with several clusters it must emit only exact pairs
+    (no false positives, each exactly once)."""
+    from aspseek_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    exact = dedup.embedding_near_dup_pairs(sf, threshold=0.4)
+    e = {(a, b): c for a, b, c in zip(exact["vec_a"].to_pylist(),
+                                      exact["vec_b"].to_pylist(),
+                                      exact["cosine"].to_pylist())}
+    assert e, "fixture has no near-dup pairs at 0.4 — test is vacuous"
+
+    one = dedup.embedding_near_dup_pairs(sf, threshold=0.4,
+                                         broadcast_max_rows=0,
+                                         n_clusters=1, n_assign=1)
+    g = {(a, b): c for a, b, c in zip(one["vec_a"].to_pylist(),
+                                     one["vec_b"].to_pylist(),
+                                     one["cosine"].to_pylist())}
+    assert g == e
+
+    multi = dedup.embedding_near_dup_pairs(sf, threshold=0.4,
+                                           broadcast_max_rows=0,
+                                           n_clusters=8, n_assign=2)
+    pairs = list(zip(multi["vec_a"].to_pylist(), multi["vec_b"].to_pylist()))
+    assert len(pairs) == len(set(pairs))          # exactly-once emission
+    assert set(pairs) <= set(e)                   # no false pairs
+    for (a, b), c in zip(pairs, multi["cosine"].to_pylist()):
+        assert c == e[(a, b)]
