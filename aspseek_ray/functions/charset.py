@@ -10,7 +10,10 @@ Detection precedence (reference behavior: header wins over meta):
   2. BOM sniff (utf-8-sig / utf-16 le/be),
   3. <meta charset=...> or <meta http-equiv=content-type ...> in the first
      ``_SNIFF_BYTES`` bytes (ASCII-compatible scan),
-  4. fallback: utf-8.
+  4. content-based n-gram guess (functions/charguess.py — the reference's
+     ``.lm`` CharsetGuesser role) for bodies with high bytes that are NOT
+     valid UTF-8,
+  5. fallback: utf-8.
 
 Decoding always uses errors="replace" — a bad byte must never kill an
 indexing pass (reference: bad sequences map to the replacement char).
@@ -75,6 +78,20 @@ def detect_charset(content_type: str | None, html: bytes | None) -> str:
             cs = _normalize(m.group(1).decode("ascii", "replace"))
             if cs:
                 return cs
+        # unlabeled body: a clean strict-UTF-8 window stays utf-8 (and a
+        # pure-ASCII window trivially so — byte-stable for utf-8 corpora);
+        # otherwise ask the n-gram charset guesser
+        window = html[:_SNIFF_BYTES]
+        try:
+            window.decode("utf-8", errors="strict")
+        except UnicodeDecodeError as e:
+            if e.start >= len(window) - 3 and len(html) > len(window):
+                return "utf-8"   # multi-byte seq cut by the sniff window
+            from aspseek_ray.functions.charguess import guess_charset
+
+            cs = guess_charset(html)
+            if cs:
+                return _normalize(cs) or "utf-8"
     return "utf-8"
 
 

@@ -71,3 +71,49 @@ def test_mime_gate_and_converter_hook():
     assert convert_to_text("image/png", b"\x89PNG") is None
     assert convert_to_text("text/plain; charset=windows-1251",
                            RU.encode("cp1251")) == RU
+
+
+# ----------------------------------------------- content-based guess (r3)
+RU_LONG = ("мы обсуждаем вопросы науки и техники каждый вечер после "
+           "работы в библиотеке города")
+
+
+def test_unlabeled_cp1251_guessed():
+    body = f"<html><body>{RU_LONG}</body></html>".encode("cp1251")
+    assert detect_charset(None, body) == "cp1251"
+    assert RU_LONG in decode_html(body)
+
+
+def test_unlabeled_koi8r_guessed():
+    body = f"<html><body>{RU_LONG}</body></html>".encode("koi8-r")
+    assert detect_charset(None, body) == "koi8-r"
+    assert RU_LONG in decode_html(body)
+
+
+def test_unlabeled_latin1_guessed_decodes():
+    text = "la journée était très belle près de la fenêtre de l'école"
+    body = f"<html><body>{text}</body></html>".encode("latin-1")
+    assert text in decode_html(body)
+
+
+def test_unlabeled_utf8_stays_utf8():
+    body = f"<html><body>{RU_LONG}</body></html>".encode("utf-8")
+    assert detect_charset(None, body) == "utf-8"
+    assert RU_LONG in decode_html(body)
+
+
+def test_unlabeled_ascii_stays_utf8():
+    assert detect_charset(None, b"<html><body>plain text</body></html>") == "utf-8"
+
+
+def test_labels_still_beat_the_guesser():
+    # an explicit (wrong) label must win over the content guess
+    body = f"<html><body>{RU_LONG}</body></html>".encode("cp1251")
+    assert detect_charset("text/html; charset=koi8-r", body) == "koi8-r"
+
+
+def test_sniff_window_truncation_keeps_utf8():
+    # multi-byte char cut exactly at the 2048-byte window boundary
+    pad = b"a" * 2047
+    body = pad + "я".encode("utf-8") + ("я" * 50).encode("utf-8")
+    assert detect_charset(None, body) == "utf-8"
