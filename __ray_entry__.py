@@ -40,6 +40,29 @@ def corpus_for(sf_dir: str) -> str:
 _ORACLE_SF = "0.01"  # the driver's correctness gate runs at this scale
 _CRAWL_CFG = dict(max_rounds=16, num_shards=4, num_page_buckets=8)
 
+# Demo ispell dictionary for the oracle-backed morphology query: the
+# query word "scanned" never occurs in the documents corpus (only base
+# forms do), so a correct dictionary REDUCTION (scanned -> scan) is the
+# only way the engine can find the scan docs — and the oracle's
+# hand-written form list must equal the engine's affix EXPANSION of the
+# root, or the sets diverge.
+_ISPELL_AFF = """
+suffixes
+flag *S:
+    [^SXZHY]    >   S
+    [SXZH]      >   ES
+    [^AEIOUY] Y >   -Y,IES
+flag *D:
+    E           >   D
+    N           >   NED
+    [^EN]       >   ED
+flag *G:
+    E           >   -E,ING
+    N           >   NING
+    [^EN]       >   ING
+"""
+_ISPELL_DIC = "scan/SDG\nwindow/S\nquery/S\nslow/SD\n"
+
 
 def _sim_trace_parquet() -> str:
     """Oracle input for the flagship crawl queries: the trace of the
@@ -180,6 +203,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
             tuple(_vocab()[:3]), per_site=2)
 
+    def crawl_parsed_search(sf_dir: str):
+        # the full s.cgi lifecycle: qparser front door -> boolean
+        # admissibility -> tf-idf x pagerank -> per-site grouping
+        res = _run_crawl(sf_dir, "q_parsedsearch")
+        from fixtures.gen import _vocab
+
+        v = _vocab()
+        return search.ranked_crawl_search(
+            f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
+            query=f"{v[0]} AND ({v[1]} OR {v[2]}) NOT {v[3]}", per_site=2)
+
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             extract_media_features,
@@ -229,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": search.tfidf_search,
         "parsed_search": lambda sf_dir: qparser.search_query(
             sf_dir, 'spark AND (window OR scan) NOT "scan slow"'),
+        "ispell_search": lambda sf_dir: search.ispell_search(
+            sf_dir, "scanned", _ISPELL_AFF, _ISPELL_DIC),
         "quality_scores": textstats.quality_scores,
         "language_id": textstats.language_id,
         # crawl family — oracle-backed against the normative simulator's
@@ -245,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_excerpts": crawl_excerpts,
         "crawl_ranked_search": crawl_ranked_search,
         "crawl_site_search": crawl_site_search,
+        "crawl_parsed_search": crawl_parsed_search,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dup_groups": dedup.near_dup_groups,
         "simhash_near_pairs": dedup.simhash_near_pairs,
@@ -474,6 +511,12 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents)
             SELECT DISTINCT doc_id FROM tok
             WHERE word IN ('spark', 'window', 'scan')
+        """,
+        "ispell_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok
+            WHERE word IN ('scan', 'scans', 'scanned', 'scanning')
         """,
         "boolean_not_search": f"""
             WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word

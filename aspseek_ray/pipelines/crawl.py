@@ -349,6 +349,7 @@ class Crawler:
                                zero_copy_batch=True)
                   .map_batches(offer_fn, batch_format="pyarrow")
                   .take_all())
+        t_ds = time.monotonic() - t1
         n_cand = int(sum(r["n_candidates"] for r in counts))
         expected = np.array([p[0] for p in base_prog], dtype=np.int64)
         for r in counts:
@@ -362,6 +363,7 @@ class Crawler:
                 raise RuntimeError("offer barrier timeout — offers lost?")
             time.sleep(0.005)
         t_pipe = time.monotonic() - t1
+        t_barrier = t_pipe - t_ds
         n_new = int(sum(p[1] for p in prog))
         st = pq.read_table(trace_round_dir, columns=["status"])["status"]
         statuses = np.asarray(st)
@@ -380,6 +382,7 @@ class Crawler:
             "counts_sec": round(getattr(self, "_t_counts", 0.0), 4),
             "emit_sec": round(getattr(self, "_t_emit", 0.0), 4),
             "pipeline_sec": round(t_pipe, 4),
+            "barrier_sec": round(t_barrier, 4),
         }
         self.fetch_base += n_sched
         self.metrics.append(m)

@@ -202,6 +202,38 @@ def leaf_terms(node: Node) -> set[str]:
     return set().union(*(leaf_terms(c) for c in node.children))
 
 
+def positive_terms(node: Node) -> set[str]:
+    """Leaf words NOT under a negation — the terms a ranker scores and
+    an excerpter highlights (negated words only exclude, reference
+    search-result semantics)."""
+    if isinstance(node, Term):
+        return {node.word}
+    if isinstance(node, Phrase):
+        return set(node.words)
+    if isinstance(node, Not):
+        return set()
+    return set().union(*(positive_terms(c) for c in node.children))
+
+
+def matches(node: Node, toks: list[str], tokset: set[str]) -> bool:
+    """Per-document boolean evaluation over an already-tokenized doc —
+    the evaluator used when the docs stream by (crawl-store search)
+    instead of sitting in a postings index."""
+    if isinstance(node, Term):
+        return node.word in tokset
+    if isinstance(node, Phrase):
+        if not all(w in tokset for w in node.words):
+            return False
+        n = len(node.words)
+        want = list(node.words)
+        return any(toks[i:i + n] == want for i in range(len(toks) - n + 1))
+    if isinstance(node, Not):
+        return not matches(node.child, toks, tokset)
+    if isinstance(node, And):
+        return all(matches(c, toks, tokset) for c in node.children)
+    return any(matches(c, toks, tokset) for c in node.children)
+
+
 def _phrase_docs(words: tuple[str, ...],
                  pos_of: dict[tuple[str, int], np.ndarray],
                  sets: dict[str, np.ndarray]) -> np.ndarray:

@@ -254,11 +254,33 @@ def stemmed_search(sf_dir: str,
     return pa.table({"doc_id": pa.array(np.sort(acc), pa.int64())})
 
 
+def ispell_search(sf_dir: str, word: str, affix_text: str,
+                  dict_text: str) -> pa.Table:
+    """Dictionary-morphology search (O13 query-side expansion with a REAL
+    ispell affix dictionary; reference: src/spell.cpp LoadIspell +
+    src/affix.cpp): reduce ``word`` to its dictionary root, expand the
+    root to every surface form its flags generate, and return docs
+    containing ANY form — a boolean OR over the postings index. Unknown
+    words search as themselves. The affix/dict expansion is
+    dictionary-sized state: at crawl scale, build the reducer once and
+    ray.put it (the robots/redirects dim-table pattern)."""
+    from aspseek_ray.functions.ispell import (
+        IspellReducer, expand_root, parse_affix_file, parse_dict_file)
+
+    rules = parse_affix_file(affix_text)
+    flags_of = dict(parse_dict_file(dict_text))
+    red = IspellReducer.from_strings(affix_text, dict_text)
+    root = red(word)
+    forms = expand_root(root, flags_of.get(root, ""), rules)
+    return boolean_or_search(sf_dir, tuple(sorted(forms)))
+
+
 def ranked_crawl_search(store_dir: str, pages_path: str,
-                        terms: tuple[str, ...], k: int = 10,
+                        terms: tuple[str, ...] = (), k: int = 10,
                         damping_rank: float = 1.0,
                         excerpt_width: int = 40,
-                        per_site: int | None = None) -> pa.Table:
+                        per_site: int | None = None,
+                        query: str | None = None) -> pa.Table:
     """End-to-end searchd lifecycle over the CRAWL's own products
     (SURVEY §3.2: postings fetch -> boolean merge -> score = term weight x
     popularity rank -> excerpts from stored copies): builds postings from
@@ -273,10 +295,23 @@ def ranked_crawl_search(store_dir: str, pages_path: str,
     O31 over crawl products): at most ``per_site`` results per host, hosts
     ordered by their best result (score desc, host asc), docs within a
     host by (score desc, url); the first k rows in host-major order, with
-    a leading ``host`` column."""
+    a leading ``host`` column.
+
+    ``query``: a qparser query string (the full s.cgi lifecycle: qparser
+    -> boolean admissibility -> rank -> excerpts). Docs must satisfy the
+    parsed boolean/phrase expression; scoring and excerpts use its
+    POSITIVE terms (negations only exclude). Overrides ``terms``."""
     import pyarrow.dataset as pads
 
     from aspseek_ray.pipelines.index_products import pagerank
+
+    ast = None
+    if query is not None:
+        from aspseek_ray.pipelines.qparser import (
+            parse_query, positive_terms)
+
+        ast = parse_query(query)
+        terms = tuple(sorted(positive_terms(ast)))
 
     store = rd.read_parquet(store_dir, columns=["url", "text"])
     n_docs = store.count()
@@ -287,10 +322,15 @@ def ranked_crawl_search(store_dir: str, pages_path: str,
     term_set = frozenset(terms)
 
     def tf_rows(batch: pa.Table) -> pa.Table:
+        if ast is not None:
+            from aspseek_ray.pipelines.qparser import matches
         urls_, terms_, tfs = [], [], []
         for u, t in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(t or "")
+            if ast is not None and not matches(ast, toks, set(toks)):
+                continue
             counts: dict[str, int] = {}
-            for w in tokenize(t or ""):
+            for w in toks:
                 if w in term_set:
                     counts[w] = counts.get(w, 0) + 1
             for w, c in counts.items():

@@ -309,77 +309,156 @@ def _sat_once(ncpu: int) -> dict:
             "pipeline_urls_per_sec": round(res.total_fetched / pipe_sec, 1)}
 
 
-def run_scaling() -> dict:
-    """ABBA design (8, 32, 32, 8): the saturated-frontier crawl at both
+def _parse_kernel_work(arg) -> tuple[int, float]:
+    """One host-control worker: parse ``n`` amplified pages with the
+    engine's fused HTML kernel; returns (bytes, inner seconds)."""
+    seed, n = arg
+    import pyarrow.dataset as pads
+
+    from aspseek_ray.functions.html import extract_text_and_links
+
+    ds = pads.dataset(f"{SCALING_CORPUS}/pages.parquet")
+    htmls = ds.head(2000 + n, columns=["html"])["html"].to_pylist()
+    htmls = htmls[seed % 7:][:n]
+    t0 = time.monotonic()
+    tot = 0
+    for h in htmls:
+        extract_text_and_links(h)
+        tot += len(h)
+    return tot, time.monotonic() - t0
+
+
+def _kernel_throughput(nproc: int, n_pages: int = 400) -> float:
+    """Aggregate MB/s of the bare parse kernel across ``nproc`` OS
+    processes (inner time only — excludes pool spawn and parquet read)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(nproc) as ex:
+        res = list(ex.map(_parse_kernel_work,
+                          [(i, n_pages) for i in range(nproc)]))
+    mb = sum(r[0] for r in res) / 1e6
+    mean_inner = sum(r[1] for r in res) / nproc
+    return round(mb / mean_inner, 1)
+
+
+def host_control(lo: int, hi: int) -> dict:
+    """RAY-FREE control experiment: the crawl's dominant kernel (fused
+    HTML parse) run under a plain ProcessPoolExecutor at both levels,
+    ABBA-paired. No Ray, no shuffles, no actors — embarrassingly
+    parallel; its measured efficiency is therefore the HOST's delivered
+    compute ratio in this window, an upper bound no distributed pipeline
+    on this box can exceed. crawl_efficiency / kernel_efficiency isolates
+    the loss attributable to the pipeline itself."""
+    _ensure_scaling_corpus()
+    seq = [(lo, _kernel_throughput(lo)), (hi, _kernel_throughput(hi)),
+           (hi, _kernel_throughput(hi)), (lo, _kernel_throughput(lo))]
+    f = hi / lo
+    eff_ab = (seq[1][1] / seq[0][1]) / f
+    eff_ba = (seq[2][1] / seq[3][1]) / f
+    return {
+        "kernel_mb_s": [{"nproc": n, "mb_s": v} for n, v in seq],
+        "kernel_pair_efficiencies": [round(eff_ab, 3), round(eff_ba, 3)],
+        "kernel_scaling_efficiency": round((eff_ab + eff_ba) / 2, 3),
+    }
+
+
+def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
+    """ABBA design (lo, hi, hi, lo): the saturated-frontier crawl at both
     parallelism levels with fresh ray sessions, adjacent in time so the
     sandbox host's fluctuating CPU steal cancels to first order.
-    efficiency per adjacent pair = (thrpt_hi / thrpt_lo) / 4; report the
-    mean of the two pairs (and each measurement)."""
+    efficiency per adjacent pair = (thrpt_hi / thrpt_lo) / (hi/lo);
+    report the mean of the two pairs (and each measurement)."""
     from aspseek_ray.sources.pages import bucket_pages
 
+    lo, hi = levels
+    factor = hi / lo
     corpus = _ensure_scaling_corpus()
     scratch = f"{SCALING_CORPUS}_buckets128"
     bucket_pages(f"{corpus}/pages.parquet", scratch, num_buckets=128)
     _make_saturated_corpus(corpus, f"{SCALING_CORPUS}_sat")
     _warm_cache([corpus, scratch])
 
-    seq = [_sat_once(8), _sat_once(32), _sat_once(32), _sat_once(8)]
-    eff_ab = (seq[1]["urls_per_sec"] / seq[0]["urls_per_sec"]) / 4
-    eff_ba = (seq[2]["urls_per_sec"] / seq[3]["urls_per_sec"]) / 4
+    seq = [_sat_once(lo), _sat_once(hi), _sat_once(hi), _sat_once(lo)]
+    eff_ab = (seq[1]["urls_per_sec"] / seq[0]["urls_per_sec"]) / factor
+    eff_ba = (seq[2]["urls_per_sec"] / seq[3]["urls_per_sec"]) / factor
     t_lo = max(seq[0]["urls_per_sec"], seq[3]["urls_per_sec"])
     t_hi = max(seq[1]["urls_per_sec"], seq[2]["urls_per_sec"])
     p_lo = max(seq[0]["pipeline_urls_per_sec"], seq[3]["pipeline_urls_per_sec"])
     p_hi = max(seq[1]["pipeline_urls_per_sec"], seq[2]["pipeline_urls_per_sec"])
     return {
-        "metric": "saturated-frontier crawl throughput scaling 8 -> 32 cpus "
-                  "(N vs 4N evidence; ABBA paired runs, fresh ray sessions)",
+        "metric": f"saturated-frontier crawl throughput scaling {lo} -> {hi} "
+                  "cpus (N vs 4N evidence; ABBA paired runs, fresh ray "
+                  "sessions)",
+        "levels": [lo, hi],
         "runs": seq,
-        "urls_per_sec_8": t_lo,
-        "urls_per_sec_32": t_hi,
+        "urls_per_sec_lo": t_lo,
+        "urls_per_sec_hi": t_hi,
         "pair_efficiencies": [round(eff_ab, 3), round(eff_ba, 3)],
         "scaling_efficiency": round((eff_ab + eff_ba) / 2, 3),
-        "pipeline_urls_per_sec_8": p_lo,
-        "pipeline_urls_per_sec_32": p_hi,
-        "pipeline_scaling_efficiency": round((p_hi / p_lo) / 4, 3),
+        "pipeline_urls_per_sec_lo": p_lo,
+        "pipeline_urls_per_sec_hi": p_hi,
+        "pipeline_scaling_efficiency": round((p_hi / p_lo) / factor, 3),
     }
 
 
-def run_scaling_best(n: int) -> dict:
+def run_scaling_best(n: int, levels: tuple[int, int] = (8, 32)) -> dict:
     """Repeat the ABBA scaling measurement ``n`` times and report every
-    sample plus the best-window result. The sandbox host's available CPU
-    fluctuates 2-3x on minute timescales (CPU steal; see BASELINE.md), so
-    a single ABBA sample mixes windows; the best sample is the least
-    noise-contaminated estimate of the code's true scaling."""
-    samples = [run_scaling() for _ in range(n)]
+    sample plus the best-window result, bracketed by the Ray-free
+    host-control experiment (same window, same kernel). The sandbox
+    host's available CPU fluctuates 2-3x on minute timescales (CPU
+    steal; see BASELINE.md), so a single ABBA sample mixes windows;
+    normalized_scaling_efficiency = crawl / host-kernel separates the
+    pipeline's own scaling loss from the host's delivery ceiling."""
+    ctl_pre = host_control(*levels)
+    samples = [run_scaling(levels) for _ in range(n)]
+    ctl_post = host_control(*levels)
     best = max(samples, key=lambda s: s["scaling_efficiency"])
     effs = sorted(s["scaling_efficiency"] for s in samples)
     median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    kernel_eff = max(ctl_pre["kernel_scaling_efficiency"],
+                     ctl_post["kernel_scaling_efficiency"])
     return {
         "metric": best["metric"] + f" — best observed window of {n} ABBA "
                   "samples (max of noisy samples is upward-biased; "
                   "median_scaling_efficiency is the robust estimate)",
         "median_scaling_efficiency": median_eff,
-        "samples": [{k: s[k] for k in ("urls_per_sec_8", "urls_per_sec_32",
+        "host_control_pre": ctl_pre,
+        "host_control_post": ctl_post,
+        "host_kernel_scaling_efficiency": kernel_eff,
+        "normalized_scaling_efficiency": round(
+            best["scaling_efficiency"] / kernel_eff, 3),
+        "samples": [{k: s[k] for k in ("urls_per_sec_lo", "urls_per_sec_hi",
                                        "pair_efficiencies",
                                        "scaling_efficiency",
                                        "pipeline_scaling_efficiency")}
                     for s in samples],
-        **{k: best[k] for k in ("runs", "urls_per_sec_8", "urls_per_sec_32",
+        **{k: best[k] for k in ("levels", "runs", "urls_per_sec_lo",
+                                "urls_per_sec_hi",
                                 "pair_efficiencies", "scaling_efficiency",
-                                "pipeline_urls_per_sec_8",
-                                "pipeline_urls_per_sec_32",
+                                "pipeline_urls_per_sec_lo",
+                                "pipeline_urls_per_sec_hi",
                                 "pipeline_scaling_efficiency")},
     }
 
 
+def _cli_levels() -> tuple[int, int]:
+    if "--levels" in sys.argv:
+        i = sys.argv.index("--levels")
+        return int(sys.argv[i + 1]), int(sys.argv[i + 2])
+    return 8, 32
+
+
 if __name__ == "__main__":
-    if "--scaling-best" in sys.argv:
+    if "--host-control" in sys.argv:
+        print(json.dumps(host_control(*_cli_levels())))
+    elif "--scaling-best" in sys.argv:
         i = sys.argv.index("--scaling-best")
-        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 3
-        print(json.dumps(run_scaling_best(n)))
+        n = (int(sys.argv[i + 1])
+             if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 3)
+        print(json.dumps(run_scaling_best(n, _cli_levels())))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(_cli_levels())))
     elif os.environ.get("GRAFT_SAT_ONLY"):
         print(json.dumps(run_sat_only()))
     else:

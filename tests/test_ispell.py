@@ -117,3 +117,39 @@ def test_rule_condition_edges():
     assert r.apply("city") == "cities"
     assert r.apply("day") is None      # 'a' fails [^aeiouy]
     assert r.apply("y") is None        # shorter than the condition
+
+
+def test_driver_demo_dictionary_matches_oracle_form_list():
+    """__ray_entry__'s ispell_search oracle hand-lists the expansion of
+    'scan'; the engine's expansion must produce exactly that set, and the
+    query word 'scanned' must reduce to the root."""
+    import __ray_entry__ as em
+
+    rules = parse_affix_file(em._ISPELL_AFF)
+    red = IspellReducer.from_strings(em._ISPELL_AFF, em._ISPELL_DIC)
+    assert red("scanned") == "scan"
+    assert expand_root("scan", "SDG", rules) == {
+        "scan", "scans", "scanned", "scanning"}
+    assert expand_root("query", "S", rules) == {"query", "queries"}
+    assert expand_root("window", "S", rules) == {"window", "windows"}
+
+
+def test_ispell_search_reduces_unseen_form(ray_session):
+    """Full-scan equivalence at sf0.001: searching the corpus-absent form
+    'scanned' must return exactly the docs containing any surface form of
+    its root (here: the 'scan' docs)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+    from aspseek_ray.functions.text import tokenize
+    from aspseek_ray.pipelines.search import ispell_search
+
+    sf = "/root/testdata/sf0.001"
+    got = ispell_search(sf, "scanned", em._ISPELL_AFF,
+                        em._ISPELL_DIC)["doc_id"].to_pylist()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    forms = {"scan", "scans", "scanned", "scanning"}
+    want = sorted(d for d, t in zip(docs["doc_id"].to_pylist(),
+                                    docs["text"].to_pylist())
+                  if forms & set(tokenize(t)))
+    assert got == want and got

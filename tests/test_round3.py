@@ -13,7 +13,7 @@ def _mini_crawl_products(tmp_path):
     pagerank by symmetry -> popularity factor is a constant 2.0)."""
     urls = ["http://a.example/", "http://a.example/p.html",
             "http://b.example/", "http://c.example/"]
-    texts = ["foo foo foo", "foo foo", "foo", "bar"]
+    texts = ["foo foo foo", "foo foo", "foo bar", "bar"]
     nxt = urls[1:] + urls[:1]
     htmls = [f'<p><a href="{n}">x</a></p>'.encode() for n in nxt]
     store = tmp_path / "store"
@@ -58,6 +58,46 @@ def test_site_grouped_search_hand_oracle(ray_session, tmp_path):
     assert out4.schema.names == ["url", "score", "excerpt"]
     assert out4["url"].to_pylist() == [
         "http://a.example/", "http://a.example/p.html", "http://b.example/"]
+
+
+def test_parsed_query_crawl_lifecycle(ray_session, tmp_path):
+    """qparser -> boolean admissibility -> rank -> excerpt over the crawl
+    store (the full s.cgi lifecycle): negation excludes, AND restricts,
+    phrases need contiguity, and scoring uses only positive terms."""
+    from aspseek_ray.pipelines.search import ranked_crawl_search
+
+    store, pages = _mini_crawl_products(tmp_path)
+
+    # plain term via query string == terms tuple
+    out = ranked_crawl_search(store, pages, query="foo")
+    assert out["url"].to_pylist() == [
+        "http://a.example/", "http://a.example/p.html", "http://b.example/"]
+
+    # NOT excludes the doc containing bar
+    out = ranked_crawl_search(store, pages, query="foo NOT bar")
+    assert out["url"].to_pylist() == [
+        "http://a.example/", "http://a.example/p.html"]
+
+    # AND restricts to the co-occurrence doc
+    out = ranked_crawl_search(store, pages, query="foo bar")
+    assert out["url"].to_pylist() == ["http://b.example/"]
+
+    # phrase requires contiguity: only the multi-foo docs
+    out = ranked_crawl_search(store, pages, query='"foo foo"')
+    assert out["url"].to_pylist() == [
+        "http://a.example/", "http://a.example/p.html"]
+
+    # OR admits all docs; bar's rarity (df=2 vs 3) reorders nothing here
+    out = ranked_crawl_search(store, pages, query="foo OR bar")
+    assert set(out["url"].to_pylist()) == {
+        "http://a.example/", "http://a.example/p.html",
+        "http://b.example/", "http://c.example/"}
+
+    # site grouping composes with the parsed query
+    out = ranked_crawl_search(store, pages, query="foo", per_site=1)
+    assert out.schema.names == ["host", "url", "score", "excerpt"]
+    assert out["url"].to_pylist() == ["http://a.example/",
+                                      "http://b.example/"]
 
 
 def test_embedding_near_dup_size_switch(ray_session):
