@@ -276,9 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_status_stats": crawl_status_stats,
         "crawl_host_stats": crawl_host_stats,
         "crawl_recrawl_diff": crawl_recrawl_diff,
-        # rows-only (non-SQL-expressible: iterative / approximate /
-        # stateful / string-slicing detail beyond RE2)
         "crawl_excerpts": crawl_excerpts,
+        # rows-only (non-SQL-expressible: iterative / approximate /
+        # stateful)
         "crawl_ranked_search": crawl_ranked_search,
         "crawl_site_search": crawl_site_search,
         "crawl_parsed_search": crawl_parsed_search,
@@ -323,6 +323,10 @@ def oracle_sql() -> dict[str, str]:
     # pinned to the gate's sf0.01 corpus.
     sim_trace = _sim_trace_parquet()
     pages = f"{corpus_for(f'sf{_ORACLE_SF}')}/pages.parquet"
+    from fixtures.gen import _vocab
+
+    _EXCERPT_TERMS_SQL = ("[" + ",".join(f"'{t}'" for t in _vocab()[:3])
+                          + "]")
     return {
         "crawl_trace": f"""
             SELECT fetch_seq, "round", url, host, depth, discovery_seq, status
@@ -352,6 +356,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(url) AS canonical_url, COUNT(*) AS n_clones
             FROM read_parquet('{pages}')
             GROUP BY html HAVING COUNT(*) >= 2
+        """,
+        # excerpt slicer: first word-boundary match located via a
+        # non-greedy captured prefix (length(pre) == python m.start();
+        # RE2 has no lookbehind, but the boundary char is INSIDE the
+        # capture, so the arithmetic is identical), then the same
+        # +-40-char slice of the stored text
+        "crawl_excerpts": f"""
+            WITH stored AS (
+              SELECT t.url, p.text
+              FROM read_parquet('{sim_trace}') t
+              JOIN read_parquet('{pages}') p USING (url)
+              WHERE t.status = 200),
+            terms AS (SELECT unnest({_EXCERPT_TERMS_SQL}) AS term),
+            m AS (
+              SELECT url, term, text,
+                 regexp_matches(lower(text),
+                     '(^|[^a-z0-9])' || term || '($|[^a-z0-9])') AS hit,
+                 regexp_extract(lower(text),
+                     '(?s)^(.*?(?:^|[^a-z0-9]))' || term
+                     || '(?:[^a-z0-9]|$)', 1) AS pre
+              FROM stored CROSS JOIN terms)
+            SELECT url, term,
+                   substr(text, greatest(1, length(pre) - 40 + 1),
+                          least(length(text), length(pre) + length(term) + 40)
+                          - greatest(0, length(pre) - 40)) AS excerpt
+            FROM m WHERE hit
         """,
         "lineitem_agg": f"""
             SELECT l_returnflag, l_linestatus,
