@@ -389,7 +389,7 @@ class Crawler:
 
         if self.cfg.checkpoint_every and (rnd + 1) % self.cfg.checkpoint_every == 0:
             t3 = time.monotonic()
-            self.checkpoint(rnd)
+            self.checkpoint_async(rnd)
             m["checkpoint_sec"] = round(time.monotonic() - t3, 4)
         self.round = rnd + 1
         return m
@@ -399,13 +399,38 @@ class Crawler:
         """Per-partition (shard) snapshot + lineage manifest (north_rule:
         'checkpointed per-partition (frontier snapshot + cuckoo-filter state
         + lineage metrics)'). Atomic: shard files then LATEST.json rename."""
+        self.checkpoint_async(rnd)
+        self._drain_checkpoint()
+
+    def checkpoint_async(self, rnd: int) -> None:
+        """Launch the per-shard snapshot WITHOUT waiting (the VERDICT-r2
+        'async checkpoints' item): snapshot tasks overlap the next round's
+        compute. Exactness: the driver enqueues snapshot.remote on each
+        shard actor BEFORE the next round's pop — per-caller actor
+        ordering means every shard snapshots its exact end-of-round-``rnd``
+        state; round ``rnd+1`` offers come from workers that only start
+        after the next pops. The LATEST.json manifest is only written at
+        drain time (next checkpoint / run end), preserving crash
+        atomicity: an undrained snapshot is simply ignored by resume."""
+        self._drain_checkpoint()              # at most one in flight
         ckpt = self.out / "checkpoints" / f"round={rnd}"
-        shard_stats = ray.get([s.snapshot.remote(str(ckpt)) for s in self.shards])
-        manifest = {
+        self._pending_ckpt = {
             "round": rnd,
             "fetch_base": self.fetch_base,
-            "shards": shard_stats,
-            "metrics": self.metrics,
+            "metrics": list(self.metrics),
+            "refs": [s.snapshot.remote(str(ckpt)) for s in self.shards],
+        }
+
+    def _drain_checkpoint(self) -> None:
+        p = getattr(self, "_pending_ckpt", None)
+        if p is None:
+            return
+        self._pending_ckpt = None
+        manifest = {
+            "round": p["round"],
+            "fetch_base": p["fetch_base"],
+            "shards": ray.get(p["refs"]),
+            "metrics": p["metrics"],
             "corpus_dir": str(self.corpus_dir),
         }
         tmp = self.out / "checkpoints" / ".LATEST.json.tmp"
@@ -418,6 +443,7 @@ class Crawler:
             m = self.run_round()
             if m is None:
                 break
+        self._drain_checkpoint()
         # final artifacts: seen set (written in parallel by the shards —
         # the driver never holds O(corpus) rows) + metrics
         seen_dir = self.out / "seen"
@@ -431,6 +457,10 @@ class Crawler:
         return pa.concat_tables(tables).sort_by("url")
 
     def shutdown(self) -> None:
+        # a pending async checkpoint must land before its actors die —
+        # killing a shard with its snapshot in flight would orphan the
+        # refs and silently drop the manifest
+        self._drain_checkpoint()
         for s in self.shards:
             ray.kill(s)
         self.shards = []

@@ -23,7 +23,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..runtime import sorted_lookup_ref, unique_keys_ref
+from ..runtime import actor_pool, sorted_lookup_ref, unique_keys_ref
 
 
 def _round2(x):
@@ -95,7 +95,8 @@ def segment_revenue(sf_dir: str) -> pa.Table:
                 total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
             return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(JoinAgg, batch_format="pyarrow",
+                              concurrency=actor_pool())
     out = partials.groupby("c_mktsegment").aggregate(
         Sum("total_price", alias_name="total_price"),
         Sum("n_orders", alias_name="n_orders"),
@@ -164,7 +165,8 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             return t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
                 [("revenue", "sum")])
 
-    agg = (li.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+    agg = (li.map_batches(Partial, batch_format="pyarrow",
+                          concurrency=actor_pool())
              .groupby(["l_orderkey", "o_orderdate"])
              .aggregate(Sum("revenue_sum", alias_name="revenue"))).to_pandas()
     # round BEFORE the top-k cut — the oracle's ORDER BY uses the rounded

@@ -121,7 +121,10 @@ class LangId:
 
 def language_id(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    from aspseek_ray.runtime import actor_pool
+
+    out = ds.map_batches(LangId, batch_format="pyarrow",
+                         concurrency=actor_pool())
     return pa.concat_tables(ray.get(out.to_arrow_refs()))
 
 

@@ -54,3 +54,16 @@ def join_partitions(default: int = 8) -> int:
     except Exception:
         cpus = default
     return min(default, max(1, cpus))
+
+
+def actor_pool(lo: int = 2) -> tuple[int, int]:
+    """Autoscaling (min, max) concurrency for a stateful fact-table scan
+    stage: scale up to the cluster's CPUs (each map_batches actor holds
+    one by default) instead of a fixed tiny pool that caps a 100-TB scan
+    at two cores. Ray's streaming executor only spawns actors while the
+    stage has queued blocks, so the max is a ceiling, not a reservation."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", lo))
+    except Exception:
+        cpus = lo
+    return (lo, max(lo, cpus))
