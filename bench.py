@@ -135,12 +135,26 @@ def _init_ray():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    # warm the worker pool / object store / ray-data machinery (untimed)
+    # warm the worker pool / object store / ray-data machinery (untimed):
+    # enough small blocks that the FULL worker pool spawns and imports the
+    # package before the timed section (cold spawn of 32 workers costs
+    # ~3 s inside round 0 otherwise — steady-state timing per BASELINE.md)
+    _warm_pool(NUM_CPUS)
+
+
+def _warm_pool(ncpu: int) -> None:
     import pyarrow as pa
     import ray.data as rd
 
-    rd.from_arrow([pa.table({"x": [1]})] * 8).map_batches(
-        lambda b: b, batch_format="pyarrow").take_all()
+    def _touch(b: pa.Table) -> pa.Table:
+        import aspseek_ray.functions.html  # noqa: F401  (worker import)
+        import time as _t
+
+        _t.sleep(0.05)      # hold the slot so every block gets a worker
+        return b
+
+    rd.from_arrow([pa.table({"x": [1]})] * (2 * ncpu)).map_batches(
+        _touch, batch_format="pyarrow").take_all()
 
 
 def run_sat_only() -> dict:
@@ -275,14 +289,8 @@ def _sat_once(ncpu: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    import pyarrow as pa
-    import ray.data as rd
-
-    rd.from_arrow([pa.table({"x": [1]})] * 8).map_batches(
-        lambda b: b, batch_format="pyarrow").take_all()
+    _warm_pool(ncpu)
     from aspseek_ray.config import CrawlConfig
-    from aspseek_ray.pipelines.crawl import run_crawl
-
     from aspseek_ray.pipelines.crawl import Crawler
 
     sat_dir = f"{SCALING_CORPUS}_sat"
