@@ -203,6 +203,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
             tuple(_vocab()[:3]), per_site=2)
 
+    def crawl_ranked_tfidf(sf_dir: str):
+        # the searchd scoring lifecycle with the popularity blend off
+        # (damping_rank=0 -> pure tf-idf over the crawl store), which
+        # makes it SQL-expressible and oracle-backed; crawl_ranked_search
+        # keeps the full pagerank blend (rows-only: iterative float)
+        res = _run_crawl(sf_dir, "q_rankedtfidf")
+        from fixtures.gen import _vocab
+
+        t = search.ranked_crawl_search(
+            f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
+            tuple(_vocab()[:3]), damping_rank=0.0)
+        return t.select(["url", "score"])
+
     def crawl_parsed_search(sf_dir: str):
         # the full s.cgi lifecycle: qparser front door -> boolean
         # admissibility -> tf-idf x pagerank -> per-site grouping
@@ -277,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": crawl_host_stats,
         "crawl_recrawl_diff": crawl_recrawl_diff,
         "crawl_excerpts": crawl_excerpts,
+        "crawl_ranked_tfidf": crawl_ranked_tfidf,
         # rows-only (non-SQL-expressible: iterative / approximate /
         # stateful)
         "crawl_ranked_search": crawl_ranked_search,
@@ -382,6 +396,27 @@ def oracle_sql() -> dict[str, str]:
                           least(length(text), length(pre) + length(term) + 40)
                           - greatest(0, length(pre) - 40)) AS excerpt
             FROM m WHERE hit
+        """,
+        "crawl_ranked_tfidf": f"""
+            WITH stored AS (
+              SELECT t.url, p.text
+              FROM read_parquet('{sim_trace}') t
+              JOIN read_parquet('{pages}') p USING (url)
+              WHERE t.status = 200),
+            tok AS (SELECT url, unnest({_TOKS}) AS word FROM stored),
+            tf AS (SELECT url, word, COUNT(*) AS c FROM tok
+                   WHERE word IN (SELECT unnest({_EXCERPT_TERMS_SQL}))
+                   GROUP BY url, word),
+            df AS (SELECT word, COUNT(DISTINCT url) AS d FROM tok
+                   WHERE word IN (SELECT unnest({_EXCERPT_TERMS_SQL}))
+                   GROUP BY word),
+            n AS (SELECT COUNT(*) AS n FROM stored),
+            s AS (SELECT tf.url,
+                         SUM(tf.c * ln(CAST(n.n AS DOUBLE) / df.d)) AS score
+                  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+                  GROUP BY tf.url)
+            SELECT url, ROUND(s.score, 4) AS score FROM s
+            ORDER BY s.score DESC, url LIMIT 10
         """,
         "lineitem_agg": f"""
             SELECT l_returnflag, l_linestatus,
