@@ -77,20 +77,30 @@ def segment_revenue(sf_dir: str) -> pa.Table:
     The crawl engine's fetch-join pattern (O19) run in reverse: the dim table
     ships once via ray.put; the fact side never shuffles."""
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+                           columns=["c_custkey", "c_mktsegment"])
+    # broadcast side built ON A WORKER from block refs (driver holds one
+    # ObjectRef) — the same pattern as shipping_priority's lookups
+    info_ref = sorted_lookup_ref(cust, "c_custkey", "c_mktsegment")
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 
     class JoinAgg:
         def __init__(self):
-            self.seg_of = ray.get(seg_of_ref)  # once per actor
+            self.keys, self.segs = ray.get(info_ref)  # once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            seg = pd.Series(batch["o_custkey"].to_numpy()).map(self.seg_of)
-            df = pd.DataFrame({"c_mktsegment": seg,
-                               "o_totalprice": batch["o_totalprice"].to_numpy()})
+            k = batch["o_custkey"].to_numpy().astype(np.int64)
+            if len(self.keys) == 0:
+                return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                                 "total_price": pa.array([], pa.float64()),
+                                 "n_orders": pa.array([], pa.int64())})
+            idx = np.searchsorted(self.keys, k)
+            idx[idx == len(self.keys)] = 0
+            hit = self.keys[idx] == k          # FK integrity: all hit
+            df = pd.DataFrame({"c_mktsegment": self.segs[idx[hit]],
+                               "o_totalprice":
+                               batch["o_totalprice"].to_numpy()[hit]})
             g = df.groupby("c_mktsegment", as_index=False).agg(
                 total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
             return pa.Table.from_pandas(g, preserve_index=False)
