@@ -1,0 +1,137 @@
+"""Command-line entry points (the reference's `index` / `s.cgi` binary
+surface, SURVEY.md §3; north-star: "resumable via ray job submit on fixed
+multi-node clusters"):
+
+    ray job submit -- python -m aspseek_ray crawl \
+        --corpus /data/corpus --out /data/run1 [--resume] [--config cfg.json]
+    python -m aspseek_ray search --sf-dir /data/sf 'spark AND (window OR scan)'
+    python -m aspseek_ray crawl-search --store /data/run1/store \
+        --pages /data/corpus/pages.parquet 'foo bar' --per-site 2
+    python -m aspseek_ray index --pages /data/corpus/pages.parquet --out /data/idx
+
+`crawl --resume` restarts from the latest per-partition checkpoint
+(LATEST.json manifest), mirroring re-running the reference's `index`
+after a crash. Ray is initialised lazily and only if no cluster session
+exists (a `ray job submit` driver already has one)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if "--ray-auto" in sys.argv else "local",
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _cmd_crawl(args: argparse.Namespace) -> int:
+    from aspseek_ray.config import CrawlConfig
+    from aspseek_ray.pipelines.crawl import run_crawl
+
+    if args.config:
+        cfg = CrawlConfig.from_json(args.config)
+    else:
+        kw = {}
+        if args.max_rounds is not None:
+            kw["max_rounds"] = args.max_rounds
+        if args.max_docs is not None:
+            kw["max_docs"] = args.max_docs          # reference `index -n N`
+        if args.num_shards is not None:
+            kw["num_shards"] = args.num_shards
+        if args.follow_mode is not None:
+            kw["follow_mode"] = args.follow_mode
+        cfg = CrawlConfig(**kw)
+    _ensure_ray()
+    res = run_crawl(args.corpus, args.out, cfg, resume=args.resume,
+                    scratch_dir=args.scratch)
+    print(json.dumps({"out_dir": res.out_dir, "rounds": res.rounds,
+                      "total_fetched": res.total_fetched}))
+    return 0
+
+
+def _cmd_search(args: argparse.Namespace) -> int:
+    from aspseek_ray.pipelines.qparser import search_query
+
+    _ensure_ray()
+    t = search_query(args.sf_dir, args.query)
+    for d in t["doc_id"].to_pylist()[: args.limit]:
+        print(d)
+    return 0
+
+
+def _cmd_crawl_search(args: argparse.Namespace) -> int:
+    from aspseek_ray.pipelines.search import ranked_crawl_search
+
+    _ensure_ray()
+    t = ranked_crawl_search(args.store, args.pages, query=args.query,
+                            k=args.limit, per_site=args.per_site)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
+def _cmd_index(args: argparse.Namespace) -> int:
+    from aspseek_ray.pipelines.index_products import (
+        build_postings, merge_postings)
+
+    _ensure_ray()
+    merged = merge_postings(build_postings(args.pages))
+    merged.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="aspseek_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl (index role)")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--config", help="CrawlConfig JSON path")
+    c.add_argument("--resume", action="store_true",
+                   help="restart from the latest checkpoint manifest")
+    c.add_argument("--scratch", help="pre-bucketed pages dir (reused)")
+    c.add_argument("--max-rounds", type=int)
+    c.add_argument("--max-docs", type=int, help="reference `index -n N`")
+    c.add_argument("--num-shards", type=int)
+    c.add_argument("--follow-mode", choices=["world", "site", "path"])
+    c.set_defaults(fn=_cmd_crawl)
+
+    s = sub.add_parser("search", help="query the documents index (s.cgi role)")
+    s.add_argument("--sf-dir", required=True)
+    s.add_argument("query")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=_cmd_search)
+
+    cs = sub.add_parser("crawl-search",
+                        help="ranked search over a crawl's own products")
+    cs.add_argument("--store", required=True)
+    cs.add_argument("--pages", required=True)
+    cs.add_argument("query")
+    cs.add_argument("--limit", type=int, default=10)
+    cs.add_argument("--per-site", type=int, default=None)
+    cs.set_defaults(fn=_cmd_crawl_search)
+
+    ix = sub.add_parser("index", help="build + merge postings from pages")
+    ix.add_argument("--pages", required=True)
+    ix.add_argument("--out", required=True)
+    ix.set_defaults(fn=_cmd_index)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,56 @@
+"""CLI surface (`python -m aspseek_ray ...` — the `ray job submit`
+driver entry; reference `index` / s.cgi binary roles)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args, timeout=300):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run([sys.executable, "-m", "aspseek_ray", *args],
+                       capture_output=True, text=True, env=env, cwd=REPO,
+                       timeout=timeout)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    from fixtures.gen import generate_corpus
+
+    generate_corpus(str(d / "corpus"), n_pages=120, n_hosts=6, seed=3)
+    return d
+
+
+def test_cli_crawl_and_resume(cli_corpus):
+    corpus = str(cli_corpus / "corpus")
+    out = str(cli_corpus / "run")
+    first = json.loads(_run("crawl", "--corpus", corpus, "--out", out,
+                            "--max-rounds", "3", "--num-shards", "2")
+                       .strip().splitlines()[-1])
+    assert first["rounds"] == 3 and first["total_fetched"] > 0
+    resumed = json.loads(_run("crawl", "--corpus", corpus, "--out", out,
+                              "--resume", "--num-shards", "2")
+                         .strip().splitlines()[-1])
+    assert resumed["total_fetched"] >= first["total_fetched"]
+
+
+def test_cli_search():
+    out = _run("search", "--sf-dir", "/root/testdata/sf0.001",
+               "spark AND (window OR scan)", "--limit", "5")
+    ids = [int(x) for x in out.split()]
+    assert len(ids) == 5 and ids == sorted(ids)
+
+
+def test_cli_index(cli_corpus):
+    corpus = str(cli_corpus / "corpus")
+    out = str(cli_corpus / "idx")
+    _run("index", "--pages", f"{corpus}/pages.parquet", "--out", out)
+    assert os.listdir(out)
