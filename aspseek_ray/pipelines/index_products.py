@@ -228,6 +228,18 @@ def _pagerank_joined(pages_path: str, n: int, iterations: int,
                      damping: float, ndigits: int,
                      num_partitions: int | None = None) -> pa.Table:
     """Keyed-join PageRank — no driver node list, no O(n) broadcast."""
+    out = _pagerank_joined_ds(pages_path, n, iterations, damping, ndigits,
+                              num_partitions)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return t.sort_by("url")
+
+
+def _pagerank_joined_ds(pages_path: str, n: int, iterations: int,
+                        damping: float, ndigits: int,
+                        num_partitions: int | None = None) -> rd.Dataset:
+    """Keyed-join PageRank body returning the (url, rank) Dataset — the
+    collected variant above is a thin wrapper; distributed consumers
+    (pagerank_ds) take the Dataset straight into their joins."""
     from aspseek_ray.runtime import join_partitions
 
     if num_partitions is None:
@@ -300,12 +312,24 @@ def _pagerank_joined(pages_path: str, n: int, iterations: int,
                      .map_batches(apply_rank, batch_format="pyarrow")
                      .materialize())
 
-    out = ranks.map_batches(
+    return ranks.map_batches(
         lambda b: pa.table({"url": b["url"],
                             "rank": pc.round(b["rank"], ndigits=ndigits)}),
         batch_format="pyarrow")
-    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
-    return t.sort_by("url")
+
+
+def pagerank_ds(pages_path: str, iterations: int = 10, damping: float = 0.85,
+                ndigits: int = 6,
+                broadcast_max_nodes: int = 5_000_000) -> rd.Dataset:
+    """Dataset-returning pagerank for downstream DISTRIBUTED consumers
+    (e.g. the ranked-search rank join): same two plans and identical
+    values as ``pagerank``, but the keyed plan hands back its (url, rank)
+    Dataset without collecting O(nodes) rows anywhere."""
+    n = rd.read_parquet(pages_path, columns=["url"]).count()
+    if n <= broadcast_max_nodes:
+        return rd.from_arrow(
+            _pagerank_broadcast(pages_path, n, iterations, damping, ndigits))
+    return _pagerank_joined_ds(pages_path, n, iterations, damping, ndigits)
 
 
 def crawl_status_stats(trace: pa.Table) -> pa.Table:

@@ -275,51 +275,10 @@ def ispell_search(sf_dir: str, word: str, affix_text: str,
     return boolean_or_search(sf_dir, tuple(sorted(forms)))
 
 
-def ranked_crawl_search(store_dir: str, pages_path: str,
-                        terms: tuple[str, ...] = (), k: int = 10,
-                        damping_rank: float = 1.0,
-                        excerpt_width: int = 40,
-                        per_site: int | None = None,
-                        query: str | None = None) -> pa.Table:
-    """End-to-end searchd lifecycle over the CRAWL's own products
-    (SURVEY §3.2: postings fetch -> boolean merge -> score = term weight x
-    popularity rank -> excerpts from stored copies): builds postings from
-    the crawl store (url-keyed docs), scores docs containing ANY query
-    term by  sum_t tf*ln(N/df)  times  (1 + damping_rank * n * pagerank),
-    and attaches a stored-copy excerpt for the best term. The pagerank
-    factor is the reference's popularity blend (src/results.cpp role —
-    exact formula unpublished, pinned here). Output
-    (url, score, excerpt) top-k by (score desc, url).
-
-    ``per_site``: the results-page site grouping (s.cgi "group by site",
-    O31 over crawl products): at most ``per_site`` results per host, hosts
-    ordered by their best result (score desc, host asc), docs within a
-    host by (score desc, url); the first k rows in host-major order, with
-    a leading ``host`` column.
-
-    ``query``: a qparser query string (the full s.cgi lifecycle: qparser
-    -> boolean admissibility -> rank -> excerpts). Docs must satisfy the
-    parsed boolean/phrase expression; scoring and excerpts use its
-    POSITIVE terms (negations only exclude). Overrides ``terms``."""
-    import pyarrow.dataset as pads
-
-    from aspseek_ray.pipelines.index_products import pagerank
-
-    ast = None
-    if query is not None:
-        from aspseek_ray.pipelines.qparser import (
-            parse_query, positive_terms)
-
-        ast = parse_query(query)
-        terms = tuple(sorted(positive_terms(ast)))
-
-    store = rd.read_parquet(store_dir, columns=["url", "text"])
-    n_docs = store.count()
-    if n_docs == 0:
-        return pa.table({"url": pa.array([], pa.string()),
-                         "score": pa.array([], pa.float64()),
-                         "excerpt": pa.array([], pa.string())})
-    term_set = frozenset(terms)
+def _tf_rows_fn(term_set: frozenset, ast):
+    """Batch fn: (url, term, tf) rows for docs passing the (optional)
+    parsed-query admissibility check — shared by both ranked-search
+    plans, so their scoring inputs are identical by construction."""
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         if ast is not None:
@@ -341,7 +300,193 @@ def ranked_crawl_search(store_dir: str, pages_path: str,
                          "term": pa.array(terms_, pa.string()),
                          "tf": pa.array(tfs, pa.int64())})
 
-    tf = store.map_batches(tf_rows, batch_format="pyarrow")
+    return tf_rows
+
+
+def _ranked_crawl_distributed(store: "rd.Dataset", store_dir: str,
+                              pages_path: str, terms: tuple[str, ...],
+                              ast, n_docs: int, k: int,
+                              damping_rank: float, excerpt_width: int,
+                              per_site: int | None) -> pa.Table:
+    """The scale plan of ranked_crawl_search: scoring aggregation, the
+    pagerank join, per-host capping and top-k selection all run as Ray
+    groupby/join/map_batches; the driver receives only per-batch partial
+    top-k candidates (O(k x blocks) rows) and slices excerpts for the
+    final result urls alone. Semantics identical to the driver plan
+    (test_round3 proves both plans equal on the same store)."""
+    from ray.data.aggregate import Count, Sum
+
+    from aspseek_ray.functions.url import host_of
+    from aspseek_ray.pipelines.index_products import pagerank_ds
+    from aspseek_ray.runtime import join_partitions
+
+    def _empty() -> pa.Table:
+        cols = {"url": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+                "excerpt": pa.array([], pa.string())}
+        if per_site is not None:
+            cols = {"host": pa.array([], pa.string()), **cols}
+        return pa.table(cols)
+
+    tf = store.map_batches(_tf_rows_fn(frozenset(terms), ast),
+                           batch_format="pyarrow").materialize()
+    dfp = tf.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    if not len(dfp):
+        return _empty()
+    idf = {t: math.log(n_docs / d) for t, d in zip(dfp["term"], dfp["df"])}
+
+    def weigh(b: pa.Table) -> pa.Table:
+        w = b["tf"].to_numpy().astype(np.float64) * np.array(
+            [idf[t] for t in b["term"].to_pylist()])
+        return pa.table({"url": b["url"], "w": pa.array(w)})
+
+    scores = (tf.map_batches(weigh, batch_format="pyarrow")
+                .groupby("url").aggregate(Sum("w", alias_name="w")))
+
+    n_nodes = rd.read_parquet(pages_path, columns=["url"]).count() or 1
+    joined = scores.join(pagerank_ds(pages_path), join_type="left_outer",
+                         num_partitions=join_partitions(16), on=("url",))
+
+    def blend(b: pa.Table) -> pa.Table:
+        r = pc.fill_null(b["rank"].cast(pa.float64()),
+                         0.0).to_numpy(zero_copy_only=False)
+        score = b["w"].to_numpy() * (1.0 + damping_rank * n_nodes * r)
+        return pa.table({"url": b["url"], "score": pa.array(score)})
+
+    scored = joined.map_batches(blend, batch_format="pyarrow")
+
+    if per_site is None:
+        def partial_topk(b: pa.Table) -> pa.Table:
+            return b.sort_by([("score", "descending"),
+                              ("url", "ascending")]).slice(0, k)
+
+        parts = [t for t in ray.get(scored.map_batches(
+            partial_topk, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        if not parts:
+            return _empty()
+        cand = pa.concat_tables(parts).to_pandas()
+        cand = cand.sort_values(["score", "url"],
+                                ascending=[False, True]).head(k)
+        out = cand.rename(columns={})
+    else:
+        def add_host(b: pa.Table) -> pa.Table:
+            return b.append_column("host", pa.array(
+                [host_of(u) for u in b["url"].to_pylist()], pa.string()))
+
+        def cap_group(g: "pd.DataFrame") -> "pd.DataFrame":
+            g = g.sort_values(["score", "url"],
+                              ascending=[False, True]).head(per_site)
+            g["best"] = g["score"].max()
+            return g
+
+        import pandas as pd
+
+        capped = (scored.map_batches(add_host, batch_format="pyarrow")
+                        .groupby("host")
+                        .map_groups(cap_group, batch_format="pandas"))
+
+        def partial_host_topk(b: pa.Table) -> pa.Table:
+            # rows whose host ranks among this batch's top-k hosts by
+            # (best desc, host asc) — a global winner always survives
+            # its own batch's cut (map_groups keeps whole host groups)
+            df = b.to_pandas()
+            hosts = (df[["host", "best"]].drop_duplicates()
+                     .sort_values(["best", "host"], ascending=[False, True])
+                     .head(k)["host"])
+            return pa.Table.from_pandas(df[df["host"].isin(set(hosts))],
+                                        preserve_index=False)
+
+        parts = [t for t in ray.get(capped.map_batches(
+            partial_host_topk, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        if not parts:
+            return _empty()
+        cand = pa.concat_tables(parts).to_pandas()
+        best = cand.groupby("host")["score"].max()
+        order = sorted(best.index, key=lambda h: (-best[h], h))
+        pos = {h: i for i, h in enumerate(order)}
+        cand["h_pos"] = cand["host"].map(pos)
+        out = cand.sort_values(["h_pos", "score", "url"],
+                               ascending=[True, False, True]).head(k)
+
+    ex = excerpts(store_dir, terms, width=excerpt_width,
+                  urls=tuple(out["url"]))
+    ex_of: dict[str, str] = {}
+    for u, e in zip(ex["url"].to_pylist(), ex["excerpt"].to_pylist()):
+        ex_of.setdefault(u, e)
+    cols = {
+        "url": pa.array(out["url"].tolist(), pa.string()),
+        "score": pa.array(np.round(out["score"].to_numpy(), 4)),
+        "excerpt": pa.array([ex_of.get(u, "") for u in out["url"]],
+                            pa.string()),
+    }
+    if per_site is not None:
+        cols = {"host": pa.array(out["host"].tolist(), pa.string()), **cols}
+    return pa.table(cols)
+
+
+def ranked_crawl_search(store_dir: str, pages_path: str,
+                        terms: tuple[str, ...] = (), k: int = 10,
+                        damping_rank: float = 1.0,
+                        excerpt_width: int = 40,
+                        per_site: int | None = None,
+                        query: str | None = None,
+                        driver_max_docs: int = 100_000) -> pa.Table:
+    """End-to-end searchd lifecycle over the CRAWL's own products
+    (SURVEY §3.2: postings fetch -> boolean merge -> score = term weight x
+    popularity rank -> excerpts from stored copies): builds postings from
+    the crawl store (url-keyed docs), scores docs containing ANY query
+    term by  sum_t tf*ln(N/df)  times  (1 + damping_rank * n * pagerank),
+    and attaches a stored-copy excerpt for the best term. The pagerank
+    factor is the reference's popularity blend (src/results.cpp role —
+    exact formula unpublished, pinned here). Output
+    (url, score, excerpt) top-k by (score desc, url).
+
+    ``per_site``: the results-page site grouping (s.cgi "group by site",
+    O31 over crawl products): at most ``per_site`` results per host, hosts
+    ordered by their best result (score desc, host asc), docs within a
+    host by (score desc, url); the first k rows in host-major order, with
+    a leading ``host`` column.
+
+    ``query``: a qparser query string (the full s.cgi lifecycle: qparser
+    -> boolean admissibility -> rank -> excerpts). Docs must satisfy the
+    parsed boolean/phrase expression; scoring and excerpts use its
+    POSITIVE terms (negations only exclude). Overrides ``terms``.
+
+    Two physical plans behind a size switch (the pagerank pattern,
+    validated equal by test_round3): at or below ``driver_max_docs`` the
+    result set is assembled on the driver (the searchd model — fine for
+    any human-facing query); above it, scoring, the rank join, per-host
+    capping and top-k all run distributed (Ray groupby/join + per-batch
+    partial top-k), the driver touches only O(k) rows, and excerpts are
+    sliced for the result urls alone."""
+    import pyarrow.dataset as pads
+
+    from aspseek_ray.pipelines.index_products import pagerank
+
+    ast = None
+    if query is not None:
+        from aspseek_ray.pipelines.qparser import (
+            parse_query, positive_terms)
+
+        ast = parse_query(query)
+        terms = tuple(sorted(positive_terms(ast)))
+
+    store = rd.read_parquet(store_dir, columns=["url", "text"])
+    n_docs = store.count()
+    if n_docs == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64()),
+                         "excerpt": pa.array([], pa.string())})
+    term_set = frozenset(terms)
+    if n_docs > driver_max_docs:
+        return _ranked_crawl_distributed(
+            store, store_dir, pages_path, terms, ast, n_docs, k,
+            damping_rank, excerpt_width, per_site)
+
+    tf = store.map_batches(_tf_rows_fn(term_set, ast),
+                           batch_format="pyarrow")
     parts = [t for t in ray.get(tf.to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table({"url": pa.array([], pa.string()),
@@ -420,20 +565,25 @@ class QueryCache:
 
 
 def excerpts(store_dir: str, terms: tuple[str, ...],
-             width: int = 40) -> pa.Table:
+             width: int = 40, urls: tuple[str, ...] | None = None) -> pa.Table:
     """Cached-copy excerpt slicing (the ``stored`` daemon's excerpts.cpp
     role, SURVEY S8): read the crawl's zstd store parquet back and emit,
     per stored page matching any query term, a +-width-char snippet around
     the first match. Distributed map over the store partitions; only
-    matching rows leave the stage. Output (url, term, excerpt)."""
+    matching rows leave the stage. Output (url, term, excerpt).
+    ``urls``: restrict to these urls (the result-page path slices
+    excerpts for k results, not the whole store)."""
     import re
 
     pats = {t: re.compile(r"(?<![a-z0-9])" + re.escape(t) + r"(?![a-z0-9])")
             for t in terms}
+    url_set = frozenset(urls) if urls is not None else None
 
     def slice_batch(batch: pa.Table) -> pa.Table:
         out_u, out_t, out_e = [], [], []
         for u, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            if url_set is not None and u not in url_set:
+                continue
             low = (text or "").lower()
             for t, pat in pats.items():
                 m = pat.search(low)

@@ -100,6 +100,49 @@ def test_parsed_query_crawl_lifecycle(ray_session, tmp_path):
                                       "http://b.example/"]
 
 
+def test_ranked_search_plans_agree(ray_session, tmp_path):
+    """The distributed ranked-search plan (driver_max_docs=0 forces it)
+    must equal the driver plan exactly — including qparser admissibility,
+    per-site capping, tiebreaks and excerpts — on a multi-block store."""
+    import random
+
+    from aspseek_ray.pipelines.search import ranked_crawl_search
+
+    rng = random.Random(5)
+    words = ["foo", "bar", "baz", "qux", "slow"]
+    store = tmp_path / "store"
+    store.mkdir()
+    urls, texts, htmls = [], [], []
+    for h in range(8):
+        for p in range(8):
+            u = f"http://h{h}.example/p{p}.html"
+            urls.append(u)
+            texts.append(" ".join(rng.choice(words)
+                                  for _ in range(rng.randint(3, 12))))
+    nxt = urls[1:] + urls[:1]
+    for n in nxt:
+        htmls.append(f'<p><a href="{n}">x</a></p>'.encode())
+    # 4 separate files -> multiple blocks through the distributed path
+    for i in range(4):
+        sl = slice(i * 16, (i + 1) * 16)
+        pq.write_table(pa.table({"url": urls[sl], "text": texts[sl]}),
+                       store / f"part-{i}.parquet")
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(pa.table({"url": urls,
+                             "html": pa.array(htmls, pa.binary())}), pages)
+
+    cases = [dict(terms=("foo",)), dict(terms=("foo", "bar"), k=7),
+             dict(terms=("foo",), per_site=2),
+             dict(query="foo OR bar", per_site=1, k=5),
+             dict(query="foo NOT slow"),
+             dict(query='"foo bar" OR qux', per_site=3)]
+    for kwargs in cases:
+        a = ranked_crawl_search(str(store), str(pages), **kwargs)
+        b = ranked_crawl_search(str(store), str(pages),
+                                driver_max_docs=0, **kwargs)
+        assert a.equals(b), (kwargs, a.to_pydict(), b.to_pydict())
+
+
 def test_embedding_near_dup_size_switch(ray_session):
     """The bucketed (IVF) plan of embedding_near_dup_pairs: with one
     cluster it must EQUAL the exact broadcast plan (same pairs, same
