@@ -216,6 +216,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tuple(_vocab()[:3]), damping_rank=0.0)
         return t.select(["url", "score"])
 
+    def crawl_search_scaleplan(sf_dir: str):
+        # the DISTRIBUTED ranked-search plan forced on (driver_max_docs=0)
+        # — same semantics as crawl_site_search, proven equal in
+        # test_round3; this entry keeps the scale plan exercised on real
+        # crawl products at the gate scale
+        res = _run_crawl(sf_dir, "q_scaleplan")
+        from fixtures.gen import _vocab
+
+        return search.ranked_crawl_search(
+            f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
+            tuple(_vocab()[:3]), per_site=2, driver_max_docs=0)
+
     def crawl_parsed_search(sf_dir: str):
         # the full s.cgi lifecycle: qparser front door -> boolean
         # admissibility -> tf-idf x pagerank -> per-site grouping
@@ -295,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stateful)
         "crawl_ranked_search": crawl_ranked_search,
         "crawl_site_search": crawl_site_search,
+        "crawl_search_scaleplan": crawl_search_scaleplan,
         "crawl_parsed_search": crawl_parsed_search,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dup_groups": dedup.near_dup_groups,
