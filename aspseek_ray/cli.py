@@ -21,12 +21,18 @@ import json
 import sys
 
 
-def _ensure_ray() -> None:
+def _ensure_ray(address: str | None = None) -> None:
+    """Attach to (or start) Ray exactly once per process.
+
+    With ``--ray-address`` unset, plain ``ray.init()`` honors the
+    ``RAY_ADDRESS`` env var — so a ``ray job submit`` driver attaches to
+    its cluster session instead of silently nesting a single-node Ray —
+    and falls back to a local session otherwise."""
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="auto" if "--ray-auto" in sys.argv else "local",
-                 include_dashboard=False, logging_level="ERROR")
+        kw = {"address": address} if address else {}
+        ray.init(include_dashboard=False, logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -49,7 +55,7 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
         if args.follow_mode is not None:
             kw["follow_mode"] = args.follow_mode
         cfg = CrawlConfig(**kw)
-    _ensure_ray()
+    _ensure_ray(args.ray_address)
     res = run_crawl(args.corpus, args.out, cfg, resume=args.resume,
                     scratch_dir=args.scratch)
     print(json.dumps({"out_dir": res.out_dir, "rounds": res.rounds,
@@ -60,7 +66,7 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
 def _cmd_search(args: argparse.Namespace) -> int:
     from aspseek_ray.pipelines.qparser import search_query
 
-    _ensure_ray()
+    _ensure_ray(args.ray_address)
     t = search_query(args.sf_dir, args.query)
     for d in t["doc_id"].to_pylist()[: args.limit]:
         print(d)
@@ -70,7 +76,7 @@ def _cmd_search(args: argparse.Namespace) -> int:
 def _cmd_crawl_search(args: argparse.Namespace) -> int:
     from aspseek_ray.pipelines.search import ranked_crawl_search
 
-    _ensure_ray()
+    _ensure_ray(args.ray_address)
     t = ranked_crawl_search(args.store, args.pages, query=args.query,
                             k=args.limit, per_site=args.per_site)
     for row in t.to_pylist():
@@ -82,7 +88,7 @@ def _cmd_index(args: argparse.Namespace) -> int:
     from aspseek_ray.pipelines.index_products import (
         build_postings, merge_postings)
 
-    _ensure_ray()
+    _ensure_ray(args.ray_address)
     merged = merge_postings(build_postings(args.pages))
     merged.write_parquet(args.out)
     print(json.dumps({"out": args.out}))
@@ -91,6 +97,9 @@ def _cmd_index(args: argparse.Namespace) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="aspseek_ray")
+    p.add_argument("--ray-address", default=None, metavar="ADDR",
+                   help="Ray cluster address ('auto', 'local', or host:port); "
+                        "default: ray.init() resolves RAY_ADDRESS, else local")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("crawl", help="run the frontier crawl (index role)")

@@ -70,7 +70,8 @@ Node = Term | Phrase | Not | And | Or
 _TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
 _OPS = {"and": "AND", "&": "AND", "&&": "AND",
         "or": "OR", "|": "OR", "||": "OR",
-        "not": "NOT", "!": "NOT"}
+        "not": "NOT", "!": "NOT",
+        "-": "NOT"}   # standalone '-' (e.g. -"a b", -(a b)) negates too
 
 
 def _lex(q: str) -> list[tuple[str, str]]:
@@ -143,7 +144,11 @@ class _Parser:
     def unary(self) -> Node:
         if self.peek() == "NOT":
             self.next()
-            return Not(self.unary())
+            child = self.unary()
+            # NOT NOT x == x: collapse at parse time so the postings
+            # evaluator (_eval) and the streaming matches() evaluator
+            # agree on nested negation.
+            return child.child if isinstance(child, Not) else Not(child)
         return self.atom()
 
     def atom(self) -> Node:

@@ -37,6 +37,20 @@ def test_parse_precedence_and_parens():
     assert parse_query("foo-bar") == Phrase(("foo", "bar"))
 
 
+def test_parse_negation_forms():
+    # double negation collapses at parse time, so both evaluators agree
+    assert parse_query("a AND NOT NOT b") == And((Term("a"), Term("b")))
+    assert parse_query("a NOT NOT NOT b") == And((Term("a"),
+                                                  Not(Term("b"))))
+    # standalone '-' negates a following phrase or group
+    assert parse_query('a -"b c"') == And((Term("a"),
+                                           Not(Phrase(("b", "c")))))
+    assert parse_query("a -(b OR c)") == And(
+        (Term("a"), Not(Or((Term("b"), Term("c"))))))
+    assert parse_query("a ! (b c)") == And(
+        (Term("a"), Not(And((Term("b"), Term("c"))))))
+
+
 def test_parse_errors():
     for bad in ("", "   ", "(a", "a)", "AND", "a AND", "NOT a",
                 "NOT a OR b", "a OR NOT b", "!a !b"):
