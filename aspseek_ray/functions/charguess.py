@@ -30,6 +30,12 @@ __all__ = ["guess_charset", "candidate_charsets"]
 
 _PROFILE_LEN = 300     # top-N n-grams kept per profile (C&T use 300)
 _MIN_HIGH = 4          # need at least this many high bytes to guess
+# Abstain when the best candidate's out-of-place distance exceeds this
+# fraction of the worst case (len(doc_profile) * max_oop).  Measured:
+# in-profile encodings score <= 0.23, foreign ones (shift_jis / gbk /
+# euc-jp / binary) >= 0.84 — so 0.5 keeps unknown encodings on the
+# caller's safe utf-8+replace fallback instead of a confident mislabel.
+_MAX_DIST_FRAC = 0.5
 
 # Embedded per-language samples (common-phrase text; each is encoded into
 # the charsets that language is historically served in).  Russian text
@@ -118,4 +124,6 @@ def guess_charset(body: bytes, sniff: int = 4096) -> str | None:
             d += abs(r - pr) if pr is not None else max_oop
         if best_d is None or d < best_d:
             best_cs, best_d = cs, d
+    if best_d > _MAX_DIST_FRAC * len(doc) * max_oop:
+        return None     # nothing close: unknown encoding, don't guess
     return best_cs

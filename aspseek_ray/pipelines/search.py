@@ -268,7 +268,12 @@ def ispell_search(sf_dir: str, word: str, affix_text: str,
         IspellReducer, expand_root, parse_affix_file, parse_dict_file)
 
     rules = parse_affix_file(affix_text)
-    flags_of = dict(parse_dict_file(dict_text))
+    # Merge flags per root: duplicate dictionary roots with different flag
+    # sets ('scan/S' + 'scan/DG') are legal ispell and must expand the
+    # UNION of their forms, matching IspellReducer.from_strings.
+    flags_of: dict[str, str] = {}
+    for r, f in parse_dict_file(dict_text):
+        flags_of[r] = flags_of.get(r, "") + f
     red = IspellReducer.from_strings(affix_text, dict_text)
     root = red(word)
     forms = expand_root(root, flags_of.get(root, ""), rules)

@@ -106,6 +106,22 @@ def test_unlabeled_ascii_stays_utf8():
     assert detect_charset(None, b"<html><body>plain text</body></html>") == "utf-8"
 
 
+def test_unknown_encoding_abstains():
+    """Bodies in encodings outside the trained profiles (shift_jis, gbk,
+    binary) must NOT get a confident 8-bit label — the guesser abstains
+    and the caller keeps the safe utf-8+replace fallback."""
+    from aspseek_ray.functions.charguess import guess_charset
+
+    ja = "日本語のテキストです。漢字と仮名が含まれています。" * 4
+    zh = "这是一段用于字符编码检测的中文示例文本。" * 5
+    assert guess_charset(ja.encode("shift_jis")) is None
+    assert guess_charset(zh.encode("gbk")) is None
+    assert guess_charset(bytes(range(256)) * 16) is None
+    # trained profiles still guessed
+    assert guess_charset(RU_LONG.encode("cp1251")) == "cp1251"
+    assert guess_charset(RU_LONG.encode("koi8-r")) == "koi8-r"
+
+
 def test_labels_still_beat_the_guesser():
     # an explicit (wrong) label must win over the content guess
     body = f"<html><body>{RU_LONG}</body></html>".encode("cp1251")

@@ -134,6 +134,22 @@ def test_driver_demo_dictionary_matches_oracle_form_list():
     assert expand_root("window", "S", rules) == {"window", "windows"}
 
 
+def test_duplicate_roots_merge_flags(ray_session):
+    """Duplicate dictionary roots with different flag sets ('scan/S' +
+    'scan/DG') are legal ispell: ispell_search must expand the UNION of
+    their forms, agreeing with IspellReducer.from_strings."""
+    import __ray_entry__ as em
+    from aspseek_ray.pipelines.search import ispell_search
+
+    split_dic = "scan/S\nscan/DG\n"
+    got = ispell_search("/root/testdata/sf0.001", "scanned",
+                        em._ISPELL_AFF, split_dic)["doc_id"].to_pylist()
+    merged_dic = "scan/SDG\n"
+    want = ispell_search("/root/testdata/sf0.001", "scanned",
+                         em._ISPELL_AFF, merged_dic)["doc_id"].to_pylist()
+    assert got == want and got
+
+
 def test_ispell_search_reduces_unseen_form(ray_session):
     """Full-scan equivalence at sf0.001: searching the corpus-absent form
     'scanned' must return exactly the docs containing any surface form of
