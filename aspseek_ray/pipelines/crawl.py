@@ -136,7 +136,22 @@ class FetchTraceDiscover:
             pq.write_table(store, tmp, compression="zstd")
             tmp.rename(self.store_dir / f"part-{bucket}.parquet")
 
-        return parse_discover(fetched, self.max_hops, parsed=parsed)
+        cand = parse_discover(fetched, self.max_hops, parsed=parsed)
+        # Fold this bucket's status counts into the data stream as ONE
+        # all-null sentinel row carrying (n_200, n_404), so the driver
+        # never re-reads the round's trace parquet just to count statuses
+        # (candidate rows carry zeros; the sums survive any re-batching).
+        zeros = pa.array(np.zeros(cand.num_rows, np.int64))
+        cand = (cand.append_column("n_200", zeros)
+                    .append_column("n_404", zeros))
+        sc = self.last_status_counts
+        stats = pa.table({
+            f.name: (pa.array([sc.get(200, 0)], pa.int64())
+                     if f.name == "n_200"
+                     else pa.array([sc.get(404, 0)], pa.int64())
+                     if f.name == "n_404" else pa.nulls(1, f.type))
+            for f in cand.schema})
+        return pa.concat_tables([cand, stats])
 
 
 class Crawler:
@@ -332,13 +347,19 @@ class Crawler:
 
         def offer_fn(batch: pa.Table) -> pa.Table:
             submitted = np.zeros(S, dtype=np.int64)
-            if batch.num_rows:
-                sh = shard_of_hosts(bounds, batch["host"].to_pylist())
+            n_200 = int(pc.sum(batch["n_200"]).as_py() or 0)
+            n_404 = int(pc.sum(batch["n_404"]).as_py() or 0)
+            cand = batch.filter(pc.is_valid(batch["url"])).drop_columns(
+                ["n_200", "n_404"])     # strip the status-count sentinels
+            if cand.num_rows:
+                sh = shard_of_hosts(bounds, cand["host"].to_pylist())
                 for s in np.unique(sh):
-                    shards[int(s)].offer.remote(batch.filter(pa.array(sh == s)))
+                    shards[int(s)].offer.remote(cand.filter(pa.array(sh == s)))
                     submitted[int(s)] += 1
             return pa.table({
-                "n_candidates": pa.array([batch.num_rows], pa.int64()),
+                "n_candidates": pa.array([cand.num_rows], pa.int64()),
+                "n_200": pa.array([n_200], pa.int64()),
+                "n_404": pa.array([n_404], pa.int64()),
                 "submitted": pa.array([submitted.tolist()],
                                       pa.list_(pa.int64()))})
 
@@ -365,10 +386,8 @@ class Crawler:
         t_pipe = time.monotonic() - t1
         t_barrier = t_pipe - t_ds
         n_new = int(sum(p[1] for p in prog))
-        st = pq.read_table(trace_round_dir, columns=["status"])["status"]
-        statuses = np.asarray(st)
-        n_200 = int((statuses == 200).sum())
-        n_404 = int((statuses == 404).sum())
+        n_200 = int(sum(r["n_200"] for r in counts))
+        n_404 = int(sum(r["n_404"] for r in counts))
         m = {
             "round": rnd,
             "scheduled": n_sched,

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -177,10 +178,15 @@ def _pagerank_broadcast(pages_path: str, n: int, iterations: int,
     edges = extract_link_edges(pages_path).materialize()
 
     # node universe: all urls in pages (rank is defined over crawled docs)
-    urls = rd.read_parquet(pages_path, columns=["url"])
-    nodes = sorted(pa.concat_tables(ray.get(urls.to_arrow_refs()))["url"].to_pylist())
-    idx_of = {u: i for i, u in enumerate(nodes)}
-    idx_ref = ray.put(idx_of)
+    # — sorted list + url->id map built ON A WORKER (the _normalized_matrix
+    # pattern): both live in the object store; the driver holds only refs
+    # plus the O(n) float vectors the broadcast plan iterates on.
+    @ray.remote(num_returns=2)
+    def _node_index(path: str):
+        ns = sorted(pq.read_table(path, columns=["url"])["url"].to_pylist())
+        return pa.array(ns, pa.string()), {u: i for i, u in enumerate(ns)}
+
+    nodes_ref, idx_ref = _node_index.remote(pages_path)
 
     def to_ids(batch: pa.Table) -> pa.Table:
         idx = ray.get(idx_ref)
@@ -220,7 +226,7 @@ def _pagerank_broadcast(pages_path: str, n: int, iterations: int,
         dangling = ranks[deg == 0].sum()
         ranks = (1 - damping) / n + damping * (incoming + dangling / n)
 
-    return pa.table({"url": pa.array(nodes, pa.string()),
+    return pa.table({"url": ray.get(nodes_ref),
                      "rank": pa.array(np.round(ranks, ndigits))})
 
 

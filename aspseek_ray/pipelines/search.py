@@ -526,7 +526,8 @@ def ranked_crawl_search(store_dir: str, pages_path: str,
         scores = scores.sort_values(["score", "url"],
                                     ascending=[False, True]).head(k)
 
-    ex = excerpts(store_dir, terms, width=excerpt_width)
+    ex = excerpts(store_dir, terms, width=excerpt_width,
+                  urls=tuple(scores["url"]))   # slice k results, not the store
     ex_of: dict[str, str] = {}
     for u, e in zip(ex["url"].to_pylist(), ex["excerpt"].to_pylist()):
         ex_of.setdefault(u, e)            # first (term-alphabetical) excerpt
