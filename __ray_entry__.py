@@ -22,7 +22,7 @@ from typing import Any
 # input-shaped table deterministically; cached under /tmp per sf)
 # --------------------------------------------------------------------------
 _CORPUS_SIZES = {"0.001": (500, 16), "0.01": (2000, 40), "0.1": (20000, 400)}
-_CORPUS_VERSION = "v3"  # bump when fixtures/gen.py output changes
+_CORPUS_VERSION = "v4"  # bump when fixtures/gen.py output changes
 
 
 def corpus_for(sf_dir: str) -> str:
@@ -295,7 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl family — oracle-backed against the normative simulator's
         # trace (scheduling) or the corpus parquet (content):
         "crawl_trace": crawl_trace,
-        "crawl_pagerank": crawl_pagerank,  # rows-only: iterative float
+        # oracle-backed: unrolled-iteration SQL over the generator's
+        # independent intended-link graph (links.parquet)
+        "crawl_pagerank": crawl_pagerank,
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
         "crawl_status_stats": crawl_status_stats,
@@ -310,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_search_scaleplan": crawl_search_scaleplan,
         "crawl_parsed_search": crawl_parsed_search,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        # oracle-backed: recursive-CTE min-label closure over the exact
+        # jaccard pairs
         "near_dup_groups": dedup.near_dup_groups,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "lsh_topk": similarity.lsh_topk,
@@ -342,6 +346,44 @@ _STOP_FR_SQL = ("['" + "','".join(
     + "']")
 
 
+def _pagerank_oracle_sql(links: str, pages: str, iters: int = 10,
+                         damping: float = 0.85) -> str:
+    """The engine's 10 fixed PageRank iterations unrolled as chained CTEs
+    over the corpus's INTENDED link graph (fixtures links.parquet — built
+    by the generator's independent stdlib resolver, NOT by the engine's
+    extract_links/canonicalize). Semantics mirrored exactly: edges
+    filtered to pages-urls on both endpoints, out-degree over the
+    filtered edges, uniform dangling redistribution, ROUND(rank, 6)."""
+    sql = f"""
+        WITH nodes AS (SELECT url FROM read_parquet('{pages}')),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        e AS MATERIALIZED (SELECT l.src_url AS src, l.dst_url AS dst
+              FROM read_parquet('{links}') l
+              JOIN nodes s ON l.src_url = s.url
+              JOIN nodes t ON l.dst_url = t.url),
+        deg AS MATERIALIZED (SELECT n.url, CAST(COUNT(e.src) AS DOUBLE) AS deg
+                FROM nodes n LEFT JOIN e ON n.url = e.src GROUP BY n.url),
+        r0 AS MATERIALIZED (SELECT n.url, 1.0 / nn.n AS rank
+               FROM nodes n CROSS JOIN nn)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+        d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS s
+                 FROM {prev} r JOIN deg g ON r.url = g.url WHERE g.deg = 0),
+        i{k} AS MATERIALIZED (SELECT e.dst AS url, SUM(r.rank / g.deg) AS m
+                 FROM e JOIN {prev} r ON e.src = r.url
+                        JOIN deg g ON e.src = g.url
+                 GROUP BY e.dst),
+        r{k} AS MATERIALIZED (SELECT n.url,
+                        (1 - {damping}) / nn.n
+                        + {damping} * (COALESCE(i.m, 0) + dk.s / nn.n) AS rank
+                 FROM nodes n CROSS JOIN nn CROSS JOIN d{k} dk
+                 LEFT JOIN i{k} i ON n.url = i.url)"""
+        prev = f"r{k}"
+    return sql + f"""
+        SELECT url, ROUND(rank, 6) AS rank FROM {prev}"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Crawl-family oracles: the scheduling-dependent queries read the
     # trace of the independent single-threaded normative simulator
@@ -349,7 +391,9 @@ def oracle_sql() -> dict[str, str]:
     # read the corpus parquet directly. Both inputs are deterministic and
     # pinned to the gate's sf0.01 corpus.
     sim_trace = _sim_trace_parquet()
-    pages = f"{corpus_for(f'sf{_ORACLE_SF}')}/pages.parquet"
+    corpus = corpus_for(f"sf{_ORACLE_SF}")
+    pages = f"{corpus}/pages.parquet"
+    links = f"{corpus}/links.parquet"
     from fixtures.gen import _vocab
 
     _EXCERPT_TERMS_SQL = ("[" + ",".join(f"'{t}'" for t in _vocab()[:3])
@@ -383,6 +427,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(url) AS canonical_url, COUNT(*) AS n_clones
             FROM read_parquet('{pages}')
             GROUP BY html HAVING COUNT(*) >= 2
+        """,
+        "crawl_pagerank": _pagerank_oracle_sql(links, pages),
+        "near_dup_groups": f"""
+            WITH RECURSIVE
+            tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                    FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS i
+                      FROM tok a JOIN tok b
+                        ON a.word = b.word AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM inter
+                      JOIN sizes sa ON doc_a = sa.doc_id
+                      JOIN sizes sb ON doc_b = sb.doc_id
+                      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (SELECT DISTINCT u, u AS v FROM e
+                      UNION
+                      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+            SELECT u AS doc_id, MIN(v) AS group_id FROM reach GROUP BY u
         """,
         # excerpt slicer: first word-boundary match located via a
         # non-greedy captured prefix (length(pre) == python m.start();

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import posixpath
 from pathlib import Path
-from urllib.parse import urlsplit
+from urllib.parse import urljoin, urlsplit
 
 import numpy as np
 import pyarrow as pa
@@ -136,6 +136,22 @@ def _render_href(target_url: str, target_path: str, base_url: str, base_path: st
     return rel
 
 
+def _resolve_link(href: str, base_url: str) -> str | None:
+    """INDEPENDENT ground-truth resolution of a generated href (stdlib
+    urljoin + fragment strip), used to emit links.parquet — the intended
+    link graph the engine's extract_links+canonicalize must reproduce.
+    Valid for generator output only: generated URLs are already canonical
+    (lowercase hosts, no ports, sorted queries), so no further
+    normalization is needed here; urljoin collapses the ``../`` segments
+    relative hrefs contain."""
+    href = href.strip()
+    u = urljoin(base_url, href)
+    u = u.partition("#")[0]
+    if not u.startswith("http://"):
+        return None      # mailto: etc.
+    return u
+
+
 def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
               base_href: str | None, block_scale: int = 1) -> bytes:
     parts = ["<html><head><title>", title, "</title>"]
@@ -216,6 +232,8 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
 
     # --- generate html per page -------------------------------------------
     htmls: list[bytes] = []
+    page_hrefs: list[list[str]] = []   # raw hrefs per page (doc-order-free)
+    page_base: list[str | None] = []   # the page's <base href>, if any
     for url, host, path in url_list:
         k = int(rng.integers(0, 13))  # k in [0,12] real links
         own = urls_by_host[host]
@@ -264,6 +282,8 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
         hrefs.append("mailto:owner@" + host)
         title = _sentence(rng, 2, 6, 0.05)
         htmls.append(_gen_html(rng, title, hrefs, base_href, block_scale))
+        page_hrefs.append(hrefs)
+        page_base.append(base_href)
 
     # exact-clone injection (mirrors / boilerplate dupes — O23 clone
     # detection needs real duplicate bodies): ~clone_fraction of non-root
@@ -276,6 +296,11 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
             if url_list[dst][2] == "/":      # keep host roots unique
                 continue
             htmls[dst] = htmls[src]
+            # the clone carries the source's anchors and <base href>; its
+            # RELATIVE hrefs re-resolve against the clone's own url when
+            # no <base> is present — track that for links.parquet
+            page_hrefs[dst] = page_hrefs[src]
+            page_base[dst] = page_base[src]
 
     texts = [extract_text(h) for h in htmls]
     n = len(url_list)
@@ -334,11 +359,34 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
     })
     pq.write_table(redirects, out / "redirects.parquet")
 
+    # --- intended link graph (ground truth for O26/O28 oracles) -----------
+    # One row per distinct (src, dst) anchor target, resolved by the
+    # INDEPENDENT stdlib resolver above — same per-page dedup semantics as
+    # the engine's extract_link_edges (skip self-links, first occurrence
+    # wins; the set is order-free). dst may be an alias / 404 url not in
+    # pages — consumers filter to their node universe.
+    l_src: list[str] = []
+    l_dst: list[str] = []
+    for (url, _h, _p), hrefs, bh in zip(url_list, page_hrefs, page_base):
+        base = bh or url
+        seen_l: set[str] = set()
+        for h in hrefs:
+            c = _resolve_link(h, base)
+            if c is None or c == url or c in seen_l:
+                continue
+            seen_l.add(c)
+            l_src.append(url)
+            l_dst.append(c)
+    links = pa.table({"src_url": pa.array(l_src, pa.string()),
+                      "dst_url": pa.array(l_dst, pa.string())})
+    pq.write_table(links, out / "links.parquet")
+
     return {
         "pages": str(out / "pages.parquet"),
         "seeds": str(out / "seeds.parquet"),
         "robots": str(out / "robots.parquet"),
         "redirects": str(out / "redirects.parquet"),
+        "links": str(out / "links.parquet"),
     }
 
 

@@ -59,6 +59,28 @@ def test_corpus_properties(tmp_path):
     assert any(r == ["/"] for r in robots["rules"].to_pylist())
 
 
+def test_links_parquet_matches_engine_edges(tmp_path):
+    """links.parquet (the generator's INTENDED link graph, resolved by the
+    independent stdlib resolver) must equal the engine's
+    extract_links+canonicalize edge set — including cloned pages, whose
+    relative hrefs re-resolve against the clone's own url."""
+    d = tmp_path / "c"
+    paths = generate_corpus(str(d), n_pages=300, n_hosts=12, seed=42)
+    pages = pq.read_table(paths["pages"])
+    want = set()
+    for url, html in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        base, hrefs = extract_links(html)
+        eff = base or url
+        for h in hrefs:
+            c = canonicalize(h, eff)
+            if c is not None and c != url:
+                want.add((url, c))
+    links = pq.read_table(paths["links"])
+    got = set(zip(links["src_url"].to_pylist(), links["dst_url"].to_pylist()))
+    assert got == want
+    assert len(got) == links.num_rows  # per-page dedup leaves no dup rows
+
+
 def test_host_skew(tmp_path):
     generate_corpus(str(tmp_path / "c"), n_pages=500, n_hosts=20, seed=1)
     pages = pq.read_table(str(tmp_path / "c" / "pages.parquet"))
