@@ -86,9 +86,26 @@ def _cmd_crawl_search(args: argparse.Namespace) -> int:
 
 def _cmd_index(args: argparse.Namespace) -> int:
     from aspseek_ray.pipelines.index_products import (
-        build_postings, merge_postings)
+        build_postings, merge_postings, update_postings_index)
 
+    if args.update and not args.index_dir:
+        raise SystemExit("index --update requires --index-dir")
+    if not args.update and not (args.out or args.index_dir):
+        raise SystemExit("index requires --out or --index-dir")
     _ensure_ray(args.ray_address)
+    if args.update:
+        # incremental delta->main refresh (reference `index` real-time
+        # update): fold one crawl round's store into the EXISTING
+        # bucketed index at --index-dir without rebuilding
+        touched = update_postings_index(args.index_dir, args.pages)
+        print(json.dumps({"index_dir": args.index_dir,
+                          "buckets_rewritten": touched}))
+        return 0
+    if args.index_dir:
+        # initial bucketed (raw, mergeable) index build
+        build_postings(args.pages, out_dir=args.index_dir)
+        print(json.dumps({"index_dir": args.index_dir}))
+        return 0
     merged = merge_postings(build_postings(args.pages))
     merged.write_parquet(args.out)
     print(json.dumps({"out": args.out}))
@@ -131,8 +148,13 @@ def build_parser() -> argparse.ArgumentParser:
     cs.set_defaults(fn=_cmd_crawl_search)
 
     ix = sub.add_parser("index", help="build + merge postings from pages")
-    ix.add_argument("--pages", required=True)
-    ix.add_argument("--out", required=True)
+    ix.add_argument("--pages", required=True,
+                    help="pages parquet (or one store round dir with --update)")
+    ix.add_argument("--out", help="merged-postings parquet output")
+    ix.add_argument("--index-dir",
+                    help="bucketed raw index dir (build, or target of --update)")
+    ix.add_argument("--update", action="store_true",
+                    help="incrementally fold --pages into --index-dir")
     ix.set_defaults(fn=_cmd_index)
     return p
 

@@ -103,6 +103,151 @@ def merge_postings(postings: rd.Dataset) -> rd.Dataset:
         merge_bucket, batch_format="pandas")
 
 
+def _read_bucketed_postings(index_dir: str) -> rd.Dataset:
+    """Read a word_bucket-partitioned postings index back with the
+    partition column normalized to int32 (hive read-back yields string)."""
+    ds = rd.read_parquet(index_dir)
+
+    def norm(b: pa.Table) -> pa.Table:
+        wb = b["word_bucket"]
+        if not pa.types.is_integer(wb.type):
+            b = b.set_column(b.schema.get_field_index("word_bucket"),
+                             "word_bucket", wb.cast(pa.string()).cast(pa.int32()))
+        return b.select(["word", "word_bucket", "doc_seq", "positions"])
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def update_postings_index(index_dir: str, store_path: str,
+                          purge_doc_seqs: "list[int] | tuple[int, ...]" = (),
+                          broadcast_max_docs: int = 2_000_000) -> list[int]:
+    """Incremental delta→main index refresh (S7/O21 — the reference's
+    signature real-time update, src/deltas.cpp + CachePut/Merge role):
+    build delta postings from ONE crawl round's stored pages and merge
+    them into an EXISTING ``build_postings(out_dir=...)`` index without
+    rebuilding it.
+
+    Semantics: every doc in ``store_path`` (plus ``purge_doc_seqs``) has
+    its OLD postings removed from every bucket, then the delta rows are
+    added — so changed docs are replaced (including words their new text
+    no longer contains), new docs are inserted, and purged docs vanish.
+    ``store_path`` must hold at most one fetch per url (one crawl round
+    does; for multi-round inputs dedupe latest-wins upstream).
+
+    Physical plan: the remove-set (round doc ids) is collected from the
+    delta — bounded by the politeness round budget — and broadcast via
+    ray.put for a vectorized np.isin filter; above ``broadcast_max_docs``
+    a keyed ``join(left_anti)`` on doc_seq replaces the broadcast (one
+    shuffle of the index, no driver set). A column-pruned pre-pass reads
+    only (word_bucket, doc_seq) to find buckets that actually change;
+    only those partitions are rewritten, then swapped in via dir renames
+    (crash between renames leaves at most one bucket in the pre-update
+    state — re-running the update is idempotent). With 64 buckets any
+    real round touches all of them; at 100-TB scale NUM_WORD_BUCKETS
+    rises (4096+) and a small recrawl round rewrites only its share.
+
+    Returns the list of rewritten bucket ids."""
+    import shutil
+    from pathlib import Path
+
+    delta = build_postings(store_path).materialize()
+
+    # remove-set: docs being refreshed this round (+ explicit purges)
+    doc_rows = delta.select_columns(["doc_seq"]).unique("doc_seq")
+    remove = np.unique(np.concatenate(
+        [np.asarray(doc_rows, dtype=np.int64),
+         np.asarray(list(purge_doc_seqs), dtype=np.int64)]))
+    use_broadcast = remove.size <= broadcast_max_docs
+    remove_ref = ray.put(remove) if use_broadcast else None
+
+    old = _read_bucketed_postings(index_dir)
+
+    # pre-pass (column-pruned): buckets whose old rows lose a doc
+    def removed_per_bucket(b: pa.Table) -> pa.Table:
+        hit = np.isin(b["doc_seq"].to_numpy(), ray.get(remove_ref))
+        wb = b["word_bucket"].to_numpy()[hit]
+        vals, cnts = np.unique(wb, return_counts=True)
+        return pa.table({"word_bucket": pa.array(vals.astype(np.int32)),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    if use_broadcast:
+        hits = (old.select_columns(["word_bucket", "doc_seq"])
+                   .map_batches(removed_per_bucket, batch_format="pyarrow")
+                   .groupby("word_bucket").aggregate(Sum("n", alias_name="n")))
+        dirty = {int(r["word_bucket"]) for r in hits.iter_rows()}
+    else:
+        rem_ds = rd.from_arrow(pa.table({"doc_seq": pa.array(remove)}))
+        hits = (old.select_columns(["word_bucket", "doc_seq"])
+                   .join(rem_ds, join_type="left_semi",
+                         num_partitions=max(8, NUM_WORD_BUCKETS // 8),
+                         on=("doc_seq",)))
+        dirty = ({int(x) for x in hits.unique("word_bucket")}
+                 if hits.count() else set())
+    delta_buckets = {int(b) for b in delta.unique("word_bucket")}
+    touched = sorted(dirty | delta_buckets)
+    if not touched:
+        return []
+
+    touched_arr = np.asarray(touched, np.int32)
+
+    def bucket_fn(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            np.isin(b["word_bucket"].to_numpy(), touched_arr)))
+
+    old_touched = old.map_batches(bucket_fn, batch_format="pyarrow")
+    if use_broadcast:
+        def keep_fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            keep = ~np.isin(b["doc_seq"].to_numpy(), ray.get(remove_ref))
+            return b.filter(pa.array(keep))
+
+        kept_old = old_touched.map_batches(keep_fn, batch_format="pyarrow")
+    else:
+        # Arrow hash joins reject list<> payload columns: carry positions
+        # as little-endian int32 bytes across the anti-join.
+        def enc(b: pa.Table) -> pa.Table:
+            col = b["positions"].combine_chunks()
+            off = col.offsets.to_numpy()
+            raw = col.values.to_numpy().astype("<i4").tobytes()
+            bins = [raw[4 * s:4 * e] for s, e in zip(off[:-1], off[1:])]
+            i = b.schema.get_field_index("positions")
+            return b.set_column(i, "positions", pa.array(bins, pa.binary()))
+
+        def dec(b: pa.Table) -> pa.Table:
+            lists = [np.frombuffer(x, dtype="<i4").tolist()
+                     for x in b["positions"].to_pylist()]
+            i = b.schema.get_field_index("positions")
+            return b.set_column(
+                i, "positions", pa.array(lists, pa.list_(pa.int32())))
+
+        rem_ds = rd.from_arrow(pa.table({"doc_seq": pa.array(remove)}))
+        kept_old = (old_touched
+                    .map_batches(enc, batch_format="pyarrow")
+                    .join(rem_ds, join_type="left_anti",
+                          num_partitions=max(8, NUM_WORD_BUCKETS // 8),
+                          on=("doc_seq",))
+                    .map_batches(dec, batch_format="pyarrow"))
+    updated = kept_old.union(delta)
+
+    tmp = Path(index_dir) / ".update_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    updated.write_parquet(str(tmp), partition_cols=["word_bucket"])
+    for k in touched:
+        new_part = tmp / f"word_bucket={k}"
+        old_part = Path(index_dir) / f"word_bucket={k}"
+        if not new_part.exists():
+            new_part.mkdir()          # bucket emptied entirely this round
+        stash = Path(index_dir) / f".old_bucket={k}"
+        shutil.rmtree(stash, ignore_errors=True)
+        if old_part.exists():
+            old_part.rename(stash)
+        new_part.rename(old_part)
+        shutil.rmtree(stash, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return touched
+
+
 def clone_groups(pages_path: str) -> pa.Table:
     """Content-clone detection (O10/O23): group by body checksum; output
     one row per clone group with >= 2 members:
