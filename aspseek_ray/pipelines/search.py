@@ -101,6 +101,46 @@ def _ensure_doc_postings(sf_dir: str) -> tuple[str, int]:
     return str(out), n_docs
 
 
+def _ensure_stem_forms(pdir: str) -> str:
+    """Materialize (once, beside the index) the stem -> surface-forms
+    sidecar the stemmed_search docstring promises: rows (stem,
+    stem_bucket, word) over the DISTINCT vocabulary, parquet-partitioned
+    by stem_bucket — so a stemmed query reads only its stems' partitions
+    instead of sweeping the whole vocabulary. Built lazily from an
+    existing postings dir (covers caches created before this sidecar
+    existed); atomic rename-into-place like the postings build."""
+    out = Path(pdir) / "stem_forms"
+    if out.exists():
+        return str(out)
+    from ray.data.aggregate import Count
+
+    from aspseek_ray.functions.morphology import stem
+
+    files = sorted(str(f) for f in Path(pdir).glob("word_bucket=*/*.parquet"))
+    vocab = (rd.read_parquet(files, columns=["word"])
+               .groupby("word").aggregate(Count(alias_name="_c")))
+
+    def to_forms(batch: pa.Table) -> pa.Table:
+        words = batch["word"].to_pylist()
+        sarr = pa.array([stem(w) for w in words], pa.string())
+        bucket = np.abs(fnv1a64_arrow(sarr)) % NUM_WORD_BUCKETS
+        return pa.table({"stem": sarr,
+                         "stem_bucket": pa.array(bucket.astype(np.int32)),
+                         "word": batch["word"]})
+
+    build = Path(f"{out}.tmp{os.getpid()}")
+    build.mkdir(parents=True, exist_ok=True)
+    (vocab.map_batches(to_forms, batch_format="pyarrow")
+          .write_parquet(str(build), partition_cols=["stem_bucket"]))
+    try:
+        build.rename(out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)  # another builder won
+    return str(out)
+
+
 def _term_postings(sf_dir: str, terms: tuple[str, ...]) -> tuple[pa.Table, int]:
     """Fetch the posting rows of exactly ``terms`` — reads ONLY the terms'
     word_bucket partitions with a word-pruned row filter (the searchd
@@ -216,28 +256,31 @@ def stemmed_search(sf_dir: str,
     """Morphology-expanded boolean AND (O13 + O27; reference: ispell form
     expansion at query time, src/spell.cpp role): a doc matches if, for
     EVERY query term, it contains some token with the same Porter stem.
-    Two index passes: a vocabulary sweep (distinct words only) maps query
-    stems -> surface forms, then the normal pruned posting fetch runs on
-    those forms. At scale the stem->forms table is materialized once
-    beside the index instead of swept per query."""
+    The stem -> surface-forms table is materialized ONCE beside the index
+    (_ensure_stem_forms, stem_bucket-partitioned); a query reads only its
+    stems' partitions — no per-query vocabulary sweep — then the normal
+    pruned posting fetch runs on the matched forms."""
     from aspseek_ray.functions.morphology import stem
 
     pdir, _ = _ensure_doc_postings(sf_dir)
     want = {stem(t) for t in terms}
-
-    def vocab_match(batch: pa.Table) -> pa.Table:
-        words = sorted(set(batch["word"].to_pylist()))
-        keep = [(w, stem(w)) for w in words if stem(w) in want]
-        return pa.table({"word": pa.array([w for w, _ in keep], pa.string()),
-                         "stem": pa.array([s for _, s in keep], pa.string())})
-
-    files = sorted(str(f) for f in Path(pdir).glob("word_bucket=*/*.parquet"))
-    vt = (rd.read_parquet(files, columns=["word"])
-            .map_batches(vocab_match, batch_format="pyarrow"))
-    forms = pa.concat_tables([t for t in ray.get(vt.to_arrow_refs())
-                              if t.num_rows] or
-                             [pa.table({"word": pa.array([], pa.string()),
-                                        "stem": pa.array([], pa.string())})])
+    sdir = _ensure_stem_forms(pdir)
+    buckets = sorted({int(np.abs(fnv1a64(s)) % NUM_WORD_BUCKETS)
+                      for s in want})
+    paths = []
+    for b in buckets:
+        d = Path(sdir) / f"stem_bucket={b}"
+        if d.exists():
+            paths.extend(sorted(str(f) for f in d.glob("*.parquet")))
+    if paths:
+        vt = rd.read_parquet(paths, columns=["stem", "word"],
+                             filter=pc.field("stem").isin(list(want)))
+        parts = [t for t in ray.get(vt.to_arrow_refs()) if t.num_rows]
+    else:
+        parts = []
+    forms = pa.concat_tables(parts or
+                             [pa.table({"stem": pa.array([], pa.string()),
+                                        "word": pa.array([], pa.string())})])
     stem_of = dict(zip(forms["word"].to_pylist(), forms["stem"].to_pylist()))
     if set(stem_of.values()) != want:       # some stem has no surface form
         return pa.table({"doc_id": pa.array([], pa.int64())})
