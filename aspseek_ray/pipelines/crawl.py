@@ -47,6 +47,25 @@ TRACE_COLS = ["fetch_seq", "round", "url", "host", "depth", "discovery_seq", "st
 _BOUNDS_SAMPLE = 200_000  # max seed urls sampled for shard-boundary weighting
 
 
+def _sample_seed_hosts(seeds_path: str) -> list[str]:
+    """Bounded host sample of the seeds table for shard-boundary
+    weighting, drawn by worker tasks: each batch contributes a stride
+    sample, so the driver receives ~_BOUNDS_SAMPLE hosts total no matter
+    how many seeds exist. (The resulting bounds are persisted by the
+    caller; exactness on resume does not depend on batch layout.)"""
+    ds = rd.read_parquet(seeds_path, columns=["url"])
+    n = ds.count()
+    stride = max(1, n // _BOUNDS_SAMPLE)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        picked = batch["url"].to_pylist()[::stride]
+        return pa.table({"host": pa.array([host_of(u) for u in picked],
+                                          pa.string())})
+
+    return [r["host"] for r in
+            ds.map_batches(sample, batch_format="pyarrow").take_all()]
+
+
 @ray.remote
 def _concat_block(*tables: pa.Table) -> pa.Table:
     """Assemble one pages-bucket block from the per-shard pieces (runs on a
@@ -89,8 +108,8 @@ class FetchTraceDiscover:
 
     def __init__(self, bucket_dir: str, trace_round_dir: str, rnd: int,
                  max_hops: int, store_round_dir: str | None = None,
-                 redirects_ref=None):
-        self.lookup = BucketLookup(bucket_dir, redirects_ref)
+                 redirect_dir: str | None = None):
+        self.lookup = BucketLookup(bucket_dir, redirect_dir)
         self.trace_dir = Path(trace_round_dir)
         self.store_dir = Path(store_round_dir) if store_round_dir else None
         self.rnd = rnd
@@ -171,26 +190,34 @@ class Crawler:
         self.bucket_dir = bucket_pages(f"{corpus_dir}/pages.parquet", str(scratch),
                                        num_buckets=self.cfg.num_page_buckets)
 
-        # redirect alias map (O11/O25) — broadcast once; empty if absent
+        # redirect alias table (O11/O25) — bucketed by the SAME url-hash
+        # layout as pages (one-time Dataset shuffle, reused via manifest);
+        # no whole-table dict ever touches the driver.
         rpath = Path(corpus_dir) / "redirects.parquet"
-        rmap: dict[str, str] = {}
+        self.redirect_dir = None
         if rpath.exists():
-            rtab = pq.read_table(rpath)
-            rmap = dict(zip(rtab["src_url"].to_pylist(), rtab["dst_url"].to_pylist()))
-        self.redirects_ref = ray.put(rmap)
+            self.redirect_dir = bucket_pages(
+                str(rpath), str(self.out / "redirects_bucketed"),
+                num_buckets=self.cfg.num_page_buckets,
+                columns=["src_url", "dst_url"], url_col="src_url")
 
         robots = pq.read_table(f"{corpus_dir}/robots.parquet")
         # lex-range host partitioning: global host order == shard-major
-        # order. Cut points are weighted by URL MASS (one entry per seed
-        # url, sampled above _BOUNDS_SAMPLE) so zipf host sizes balance;
-        # robots hosts (weight 1) cover unseeded hosts. Deterministic =>
-        # identical bounds on resume.
-        seed_urls = pq.read_table(f"{corpus_dir}/seeds.parquet",
-                                  columns=["url"])["url"].to_pylist()
-        stride = max(1, len(seed_urls) // _BOUNDS_SAMPLE)
-        weighted = [host_of(u) for u in seed_urls[::stride]]
-        weighted += robots["host"].to_pylist()
-        self.host_bounds = host_shard_bounds(weighted, self.cfg.num_shards)
+        # order. Cut points are weighted by URL MASS (a bounded host
+        # sample of seeds, drawn by WORKER tasks — the driver receives
+        # only <= ~_BOUNDS_SAMPLE hosts) so zipf host sizes balance;
+        # robots hosts (weight 1) cover unseeded hosts. The computed
+        # bounds are persisted to host_bounds.json at first init and
+        # reloaded verbatim on resume, so resume-exactness never depends
+        # on the sampling's batch layout.
+        bounds_file = self.out / "checkpoints" / "host_bounds.json"
+        if resume and bounds_file.exists():
+            self.host_bounds = tuple(json.loads(bounds_file.read_text()))
+        else:
+            weighted = _sample_seed_hosts(f"{corpus_dir}/seeds.parquet")
+            weighted += robots["host"].to_pylist()
+            self.host_bounds = host_shard_bounds(weighted, self.cfg.num_shards)
+            bounds_file.write_text(json.dumps(list(self.host_bounds)))
         shard_ids = shard_of_hosts(self.host_bounds, robots["host"].to_pylist())
         cfg_json = json.dumps({
             "per_host_per_round": self.cfg.per_host_per_round,
@@ -209,11 +236,26 @@ class Crawler:
         follow_hosts: list[list[str]] = [[] for _ in range(self.cfg.num_shards)]
         follow_prefixes: list[list[str]] = [[] for _ in range(self.cfg.num_shards)]
         if self.cfg.follow_mode != "world":
-            all_seed_hosts = [host_of(u) for u in seed_urls]
-            seed_sh = shard_of_hosts(self.host_bounds, all_seed_hosts)
-            for u, h, s in zip(seed_urls, all_seed_hosts, seed_sh):
-                follow_hosts[int(s)].append(h)
-                follow_prefixes[int(s)].append(u[: u.rfind("/") + 1])
+            # distinct (host, prefix) pairs distilled by a Dataset groupby
+            # — the driver receives O(distinct seed sites), never O(seeds)
+            from ray.data.aggregate import Count
+
+            def hp(batch: pa.Table) -> pa.Table:
+                pairs = {(host_of(u), u[: u.rfind("/") + 1])
+                         for u in batch["url"].to_pylist()}
+                return pa.table({
+                    "host": pa.array([h for h, _ in pairs], pa.string()),
+                    "prefix": pa.array([p for _, p in pairs], pa.string())})
+
+            rows = (rd.read_parquet(f"{corpus_dir}/seeds.parquet",
+                                    columns=["url"])
+                      .map_batches(hp, batch_format="pyarrow")
+                      .groupby(["host", "prefix"])
+                      .aggregate(Count(alias_name="_c")).take_all())
+            for r in rows:
+                s = int(shard_of_hosts(self.host_bounds, [r["host"]])[0])
+                follow_hosts[s].append(r["host"])
+                follow_prefixes[s].append(r["prefix"])
             follow_hosts = [sorted(set(x)) for x in follow_hosts]
             follow_prefixes = [sorted(set(x)) for x in follow_prefixes]
         ShardActor = ray.remote(CrawlShard)
@@ -237,20 +279,52 @@ class Crawler:
 
     # ------------------------------------------------------------------ setup
     def _offer_seeds(self) -> None:
-        seeds = pq.read_table(f"{self.corpus_dir}/seeds.parquet")
-        urls = seeds["url"]
-        hosts = pa.array([host_of(u) for u in urls.to_pylist()], type=pa.string())
-        cand = pa.table({
-            "url": urls,
-            "url_hash": pa.array(fnv1a64_arrow(urls)),
-            "host": hosts,
-            "host_hash": pa.array(fnv1a64_arrow(hosts)),
-            "depth": seeds["depth"],
-            "discovery_seq": seeds["discovery_seq"],
-        })
-        sh = shard_of_hosts(self.host_bounds, hosts.to_pylist())
-        ray.get([self.shards[int(s)].offer.remote(cand.filter(pa.array(sh == s)))
-                 for s in np.unique(sh)])
+        """Stream seeds.parquet through WORKER tasks that shard-and-offer
+        (the round loop's offer_fn pattern): no seed row passes through
+        the driver — it sees only per-batch counter rows and the counted
+        offer barrier. Cold start on a 10^10-url frontier is a Dataset
+        job, not a driver loop."""
+        shards = self.shards
+        bounds = self.host_bounds
+        S = self.cfg.num_shards
+        base_prog = ray.get([s.offer_progress.remote() for s in shards])
+
+        def seed_offer(batch: pa.Table) -> pa.Table:
+            submitted = np.zeros(S, dtype=np.int64)
+            if batch.num_rows:
+                urls = batch["url"]
+                hosts = pa.array([host_of(u) for u in urls.to_pylist()],
+                                 pa.string())
+                cand = pa.table({
+                    "url": urls,
+                    "url_hash": pa.array(fnv1a64_arrow(urls)),
+                    "host": hosts,
+                    "host_hash": pa.array(fnv1a64_arrow(hosts)),
+                    "depth": batch["depth"],
+                    "discovery_seq": batch["discovery_seq"],
+                })
+                sh = shard_of_hosts(bounds, hosts.to_pylist())
+                for s in np.unique(sh):
+                    shards[int(s)].offer.remote(cand.filter(pa.array(sh == s)))
+                    submitted[int(s)] += 1
+            return pa.table({"submitted": pa.array([submitted.tolist()],
+                                                   pa.list_(pa.int64()))})
+
+        counts = (rd.read_parquet(f"{self.corpus_dir}/seeds.parquet",
+                                  columns=["url", "depth", "discovery_seq"])
+                    .map_batches(seed_offer, batch_format="pyarrow")
+                    .take_all())
+        expected = np.array([p[0] for p in base_prog], dtype=np.int64)
+        for r in counts:
+            expected += np.asarray(r["submitted"], dtype=np.int64)
+        deadline = time.monotonic() + 600
+        while True:   # same counted barrier as the round loop
+            prog = ray.get([s.offer_progress.remote() for s in shards])
+            if all(prog[i][0] >= expected[i] for i in range(S)):
+                break
+            if time.monotonic() > deadline:
+                raise RuntimeError("seed offer barrier timeout")
+            time.sleep(0.005)
 
     def _restore_latest(self) -> None:
         manifest = self.out / "checkpoints" / "LATEST.json"
@@ -330,7 +404,7 @@ class Crawler:
             store_round_dir = str(srd)
         stage = FetchTraceDiscover(self.bucket_dir, str(trace_round_dir), rnd,
                                    self.cfg.max_hops, store_round_dir,
-                                   self.redirects_ref)
+                                   self.redirect_dir)
 
         # Round body: ONE streamed Dataset execution — fetch-join + trace/
         # store part writes + discover, then the offer stage, pipelined by

@@ -27,9 +27,13 @@ def add_url_hash(batch: pa.Table, col: str = "url", out: str = "url_hash") -> pa
 
 
 def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
-                 columns: list[str] | None = None) -> str:
-    """One-time shuffle of pages by url_hash % num_buckets into
-    ``out_dir/bucket=K/``. Idempotent: skips when a matching manifest exists."""
+                 columns: list[str] | None = None,
+                 url_col: str = "url") -> str:
+    """One-time shuffle of a url-keyed table by fnv1a64(url_col) %
+    num_buckets into ``out_dir/bucket=K/``. Used for the pages corpus and
+    (with url_col='src_url') the redirects table, so a scheduled url and
+    its redirect alias land in the same bucket id. Idempotent: skips when
+    a matching manifest exists."""
     out = Path(out_dir)
     pages_path = str(Path(pages_path).resolve())  # symlinked corpora match
     manifest = out / "_bucket_manifest.json"
@@ -46,7 +50,7 @@ def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
     ds = rd.read_parquet(pages_path, columns=columns or ["url", "html"])
 
     def stamp(batch: pa.Table) -> pa.Table:
-        b = add_url_hash(batch)
+        b = add_url_hash(batch, col=url_col)
         bucket = np.abs(np.asarray(b["url_hash"], dtype=np.int64)) % num_buckets
         return b.append_column("bucket", pa.array(bucket.astype(np.int32)))
 
@@ -64,13 +68,13 @@ class BucketLookup:
     ``redirect`` column (target url for 301 rows, else null). Reads only
     that bucket's files with an ``isin`` pushdown filter.
 
-    Redirects ship as one broadcast dict (ray.put once per run) — at
-    10^10-URL scale, bucket the redirect table alongside pages instead
-    (same url_hash layout) and look it up per bucket."""
+    Redirects live in a table bucketed by the SAME url-hash layout as
+    pages (bucket_pages url_col='src_url'), so a miss checks only this
+    bucket's redirect partition — no whole-table driver dict anywhere."""
 
-    def __init__(self, bucket_dir: str, redirects_ref=None):
+    def __init__(self, bucket_dir: str, redirect_dir: str | None = None):
         self.bucket_dir = bucket_dir
-        self.redirects_ref = redirects_ref
+        self.redirect_dir = redirect_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
@@ -91,16 +95,22 @@ class BucketLookup:
         found = pc.is_valid(idx)
         status_np = np.where(np.asarray(found), 200, 404).astype(np.int32)
         redirect = [None] * batch.num_rows
-        if self.redirects_ref is not None:
-            import ray
-
-            rmap = ray.get(self.redirects_ref)
-            if rmap:
-                for i in np.nonzero(status_np == 404)[0]:
-                    dst = rmap.get(urls[int(i)].as_py())
-                    if dst is not None:
+        miss = np.nonzero(status_np == 404)[0]
+        if self.redirect_dir is not None and miss.size:
+            rpath = Path(self.redirect_dir) / f"bucket={bucket}"
+            if rpath.exists():
+                miss_urls = pc.take(urls, pa.array(miss))
+                rt = pads.dataset(str(rpath), format="parquet").to_table(
+                    columns=["src_url", "dst_url"],
+                    filter=pc.field("src_url").isin(miss_urls)).combine_chunks()
+                ridx = pc.index_in(miss_urls, value_set=rt["src_url"])
+                hits = np.asarray(pc.is_valid(ridx))
+                if hits.any():
+                    dsts = pc.take(rt["dst_url"], ridx).to_pylist()
+                    for j in np.nonzero(hits)[0]:
+                        i = int(miss[j])
                         status_np[i] = 301
-                        redirect[int(i)] = dst
+                        redirect[i] = dsts[j]
         html = pc.take(hit["html"], idx)  # null where missing
         out = batch.append_column("status", pa.array(status_np))
         out = out.append_column("html", html)
