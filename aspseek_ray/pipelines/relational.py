@@ -356,15 +356,37 @@ def customer_nation_join(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------- streaming-shaped sessions
-def events_sessions(sf_dir: str, gap_s: int = 1800) -> pa.Table:
+def events_sessions(sf_dir: str, gap_s: int = 1800,
+                    presplit_window_s: int | None = None,
+                    presplit_min_rows: int = 50_000_000) -> pa.Table:
     """Session windows over the events stream (Ray Data guide
     streaming-shaped pattern): per user, a gap > gap_s starts a new
-    session. The input is treated as a partitioned log — groupby(user_id)
-    + per-group pandas over the ts-sorted group, deterministic tiebreak on
-    event_id. Output one row per session:
-    (user_id, session_start, n_events, total_value)."""
+    session. Output one row per session:
+    (user_id, session_start, n_events, total_value).
+
+    Two physical plans behind a size switch (the pagerank pattern; the
+    plans are proven equal in tests):
+
+    * small inputs: groupby(user_id) + per-group pandas over the
+      ts-sorted group — one user's whole history in one task.
+    * above ``presplit_min_rows`` (or with ``presplit_window_s`` forced):
+      pre-split on (user_id, coarse time window) so no task ever holds
+      more than one user-window of events — a pathological power user
+      stops being a straggler. Sessions fully inside a window finalize
+      immediately; only each window's first/last session CAN touch a
+      neighbor (in-window sessions are separated by > gap_s, so at most
+      one open candidate per edge), and those boundary candidates — O(2
+      x active windows) rows per user, independent of event count — go
+      through a tiny per-user stitch that merges chains across window
+      edges. The window must exceed gap_s so an empty window blocks any
+      merge across it."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "ts", "value"])
+    if presplit_window_s is None and ds.count() > presplit_min_rows:
+        presplit_window_s = max(4 * gap_s, 86_400)
+    if presplit_window_s is not None:
+        assert presplit_window_s > gap_s
+        return _events_sessions_presplit(ds, gap_s, presplit_window_s)
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
@@ -382,6 +404,90 @@ def events_sessions(sf_dir: str, gap_s: int = 1800) -> pa.Table:
 
     out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _events_sessions_presplit(ds, gap_s: int, window_s: int) -> pa.Table:
+    """Bounded-straggler sessions plan: see events_sessions."""
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        mult = {"s": 1, "ms": 10 ** 3, "us": 10 ** 6,
+                "ns": 10 ** 9}[ts.type.unit]
+        secs = ts.cast(pa.int64()).to_numpy() // mult
+        return batch.append_column(
+            "win", pa.array((secs // window_s).astype(np.int64)))
+
+    def window_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        sid = (gap.isna() | (gap > gap_s)).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            total_value=("value", "sum"),   # raw; rounded at final emit
+        ).reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        win = int(g["win"].iloc[0])
+        w0 = pd.Timestamp(win * window_s, unit="s")
+        w1 = pd.Timestamp((win + 1) * window_s, unit="s")
+        n = len(out)
+        first_open = out["session_start"].iloc[0] <= w0 + pd.Timedelta(
+            seconds=gap_s)
+        last_open = out["session_end"].iloc[n - 1] >= w1 - pd.Timedelta(
+            seconds=gap_s)
+        cand = np.zeros(n, dtype=bool)
+        if first_open:
+            cand[0] = True
+        if last_open:
+            cand[n - 1] = True
+        out["boundary"] = cand
+        return out
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["session_start", "session_end"])
+        starts = g["session_start"].to_numpy()
+        ends = g["session_end"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (starts[1:] - ends[:-1]) > np.timedelta64(gap_s, "s")
+        sid = np.cumsum(new)
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("session_start", "min"),
+            n_events=("n_events", "sum"),
+            total_value=("total_value", "sum"),
+        ).reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    summaries = (ds.map_batches(stamp, batch_format="pyarrow")
+                   .groupby(["user_id", "win"])
+                   .map_groups(window_sessions, batch_format="pandas")
+                   .materialize())
+    final = summaries.map_batches(
+        lambda b: b.filter(pc.equal(b["boundary"], False)),
+        batch_format="pyarrow")
+    stitched = (summaries.map_batches(
+                    lambda b: b.filter(pc.equal(b["boundary"], True)),
+                    batch_format="pyarrow")
+                         .groupby("user_id")
+                         .map_groups(stitch, batch_format="pandas"))
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    parts = ([t.select(cols) for t in ray.get(
+                 final.to_arrow_refs()) if t.num_rows] +
+             [t.select(cols) for t in ray.get(
+                 stitched.to_arrow_refs()) if t.num_rows])
+    if not parts:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "session_start": pa.array([], pa.timestamp("us")),
+                         "n_events": pa.array([], pa.int64()),
+                         "total_value": pa.array([], pa.float64())})
+    t = pa.concat_tables([p.cast(parts[0].schema) for p in parts])
+    t = t.set_column(t.schema.get_field_index("total_value"), "total_value",
+                     _round2(t["total_value"]))
+    return t.sort_by([("user_id", "ascending"),
+                      ("session_start", "ascending")]).combine_chunks()
 
 
 # ------------------------------------------------------------------------- O27
