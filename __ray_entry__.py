@@ -188,20 +188,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return search.excerpts(f"{res.out_dir}/store", tuple(_vocab()[:3]))
 
     def crawl_ranked_search(sf_dir: str):
+        # oracle-backed on (url, score) — the FULL pagerank blend, checked
+        # against the unrolled-iteration SQL over links.parquet; the
+        # excerpt column is oracle-proven separately by crawl_excerpts
         res = _run_crawl(sf_dir, "q_ranked")
         from fixtures.gen import _vocab
 
-        return search.ranked_crawl_search(
+        t = search.ranked_crawl_search(
             f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
             tuple(_vocab()[:3]))
+        return t.select(["url", "score"])
 
     def crawl_site_search(sf_dir: str):
         res = _run_crawl(sf_dir, "q_sitesearch")
         from fixtures.gen import _vocab
 
-        return search.ranked_crawl_search(
+        t = search.ranked_crawl_search(
             f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
             tuple(_vocab()[:3]), per_site=2)
+        return t.select(["host", "url", "score"])
 
     def crawl_ranked_tfidf(sf_dir: str):
         # the searchd scoring lifecycle with the popularity blend off
@@ -218,26 +223,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def crawl_search_scaleplan(sf_dir: str):
         # the DISTRIBUTED ranked-search plan forced on (driver_max_docs=0)
-        # — same semantics as crawl_site_search, proven equal in
-        # test_round3; this entry keeps the scale plan exercised on real
-        # crawl products at the gate scale
+        # — same semantics as crawl_site_search; ORACLE-backed against the
+        # same SQL, so the scale plan itself is checked bitwise end-to-end
         res = _run_crawl(sf_dir, "q_scaleplan")
         from fixtures.gen import _vocab
 
-        return search.ranked_crawl_search(
+        t = search.ranked_crawl_search(
             f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
             tuple(_vocab()[:3]), per_site=2, driver_max_docs=0)
+        return t.select(["host", "url", "score"])
 
     def crawl_parsed_search(sf_dir: str):
         # the full s.cgi lifecycle: qparser front door -> boolean
-        # admissibility -> tf-idf x pagerank -> per-site grouping
+        # admissibility -> tf-idf x pagerank -> per-site grouping;
+        # oracle-backed (admissibility mirrored as SQL over token sets)
         res = _run_crawl(sf_dir, "q_parsedsearch")
         from fixtures.gen import _vocab
 
         v = _vocab()
-        return search.ranked_crawl_search(
+        t = search.ranked_crawl_search(
             f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
             query=f"{v[0]} AND ({v[1]} OR {v[2]}) NOT {v[3]}", per_site=2)
+        return t.select(["host", "url", "score"])
 
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
@@ -305,12 +312,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl_diff": crawl_recrawl_diff,
         "crawl_excerpts": crawl_excerpts,
         "crawl_ranked_tfidf": crawl_ranked_tfidf,
-        # rows-only (non-SQL-expressible: iterative / approximate /
-        # stateful)
+        # oracle-backed since r4: full pagerank-blend ranked search (flat,
+        # site-grouped, forced-distributed, and qparser-admissible), each
+        # against the composed tf-idf x unrolled-pagerank SQL
         "crawl_ranked_search": crawl_ranked_search,
         "crawl_site_search": crawl_site_search,
         "crawl_search_scaleplan": crawl_search_scaleplan,
         "crawl_parsed_search": crawl_parsed_search,
+        # rows-only (non-SQL-expressible: iterative / approximate /
+        # stateful)
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # oracle-backed: recursive-CTE min-label closure over the exact
         # jaccard pairs
@@ -346,16 +356,17 @@ _STOP_FR_SQL = ("['" + "','".join(
     + "']")
 
 
-def _pagerank_oracle_sql(links: str, pages: str, iters: int = 10,
-                         damping: float = 0.85) -> str:
+def _pagerank_ctes(links: str, pages: str, iters: int = 10,
+                   damping: float = 0.85) -> tuple[str, str]:
     """The engine's 10 fixed PageRank iterations unrolled as chained CTEs
     over the corpus's INTENDED link graph (fixtures links.parquet — built
     by the generator's independent stdlib resolver, NOT by the engine's
     extract_links/canonicalize). Semantics mirrored exactly: edges
     filtered to pages-urls on both endpoints, out-degree over the
-    filtered edges, uniform dangling redistribution, ROUND(rank, 6)."""
-    sql = f"""
-        WITH nodes AS (SELECT url FROM read_parquet('{pages}')),
+    filtered edges, uniform dangling redistribution. Returns (cte_text,
+    final_cte_name) for composition into larger queries (the ranked-
+    search oracles blend ROUND(rank, 6) into their scores)."""
+    sql = f"""nodes AS (SELECT url FROM read_parquet('{pages}')),
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
         e AS MATERIALIZED (SELECT l.src_url AS src, l.dst_url AS dst
               FROM read_parquet('{links}') l
@@ -380,8 +391,74 @@ def _pagerank_oracle_sql(links: str, pages: str, iters: int = 10,
                  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} dk
                  LEFT JOIN i{k} i ON n.url = i.url)"""
         prev = f"r{k}"
-    return sql + f"""
-        SELECT url, ROUND(rank, 6) AS rank FROM {prev}"""
+    return sql, prev
+
+
+def _pagerank_oracle_sql(links: str, pages: str) -> str:
+    ctes, final = _pagerank_ctes(links, pages)
+    return f"""
+        WITH {ctes}
+        SELECT url, ROUND(rank, 6) AS rank FROM {final}"""
+
+
+def _ranked_oracle_sql(sim_trace: str, pages: str, links: str,
+                       terms: "list[str]", *, k: int = 10,
+                       damping_rank: float = 1.0,
+                       per_site: int | None = None,
+                       admissible: str | None = None) -> str:
+    """The full searchd ranked-search lifecycle as one SQL query: stored
+    docs (simulator trace ∩ pages) -> tokenized tf/df over the (optionally
+    boolean-admissible) docs -> w = sum tf*ln(N/df) -> popularity blend
+    w * (1 + damping * n_nodes * ROUND(pagerank, 6)) -> top-k with the
+    engine's exact tie order, optionally site-grouped (hosts by best
+    score, row_number cap per host). ``admissible``: SQL predicate over
+    ``tokset`` mirroring qparser matches(); None = any-term admission."""
+    pr_ctes, pr_final = _pagerank_ctes(links, pages)
+    terms_sql = "[" + ",".join(f"'{t}'" for t in sorted(set(terms))) + "]"
+    if admissible is None:
+        admissible = f"len(list_filter(tokset, x -> list_contains({terms_sql}, x))) > 0"
+    sql = f"""
+        WITH {pr_ctes},
+        pr AS MATERIALIZED (SELECT url, ROUND(rank, 6) AS rank
+                            FROM {pr_final}),
+        stored AS MATERIALIZED (
+            SELECT t.url, p.text
+            FROM read_parquet('{sim_trace}') t
+            JOIN read_parquet('{pages}') p USING (url)
+            WHERE t.status = 200),
+        docs AS MATERIALIZED (
+            SELECT url, {_TOKS} AS toks, list_distinct({_TOKS}) AS tokset
+            FROM stored),
+        adm AS MATERIALIZED (SELECT url, toks FROM docs WHERE {admissible}),
+        tf AS (SELECT a.url, t.term,
+                      len(list_filter(a.toks, x -> x = t.term)) AS c
+               FROM adm a CROSS JOIN (SELECT unnest({terms_sql}) AS term) t
+               WHERE list_contains(a.toks, t.term)),
+        df AS (SELECT term, COUNT(DISTINCT url) AS d FROM tf GROUP BY term),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM stored),
+        w AS (SELECT tf.url, SUM(tf.c * ln(nd.n / df.d)) AS w
+              FROM tf JOIN df USING (term) CROSS JOIN nd GROUP BY tf.url),
+        sc AS (SELECT w.url,
+                      w.w * (1 + {damping_rank} * nn.n
+                             * COALESCE(pr.rank, 0)) AS score
+               FROM w CROSS JOIN nn LEFT JOIN pr ON w.url = pr.url)"""
+    if per_site is None:
+        return sql + f"""
+        SELECT url, ROUND(score, 4) AS score FROM sc
+        ORDER BY score DESC, url LIMIT {k}"""
+    return sql + f""",
+        best AS (SELECT url, score,
+                        regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+                 FROM sc),
+        capped AS (SELECT *, row_number() OVER (
+                       PARTITION BY host ORDER BY score DESC, url) AS rn
+                   FROM best),
+        hb AS (SELECT host, MAX(score) AS hbest FROM best GROUP BY host)
+        SELECT c.host, c.url, ROUND(c.score, 4) AS score
+        FROM capped c JOIN hb ON c.host = hb.host
+        WHERE c.rn <= {per_site}
+        ORDER BY hb.hbest DESC, c.host ASC, c.score DESC, c.url ASC
+        LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -429,6 +506,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY html HAVING COUNT(*) >= 2
         """,
         "crawl_pagerank": _pagerank_oracle_sql(links, pages),
+        "crawl_ranked_search": _ranked_oracle_sql(
+            sim_trace, pages, links, list(_vocab()[:3])),
+        "crawl_site_search": _ranked_oracle_sql(
+            sim_trace, pages, links, list(_vocab()[:3]), per_site=2),
+        "crawl_search_scaleplan": _ranked_oracle_sql(
+            sim_trace, pages, links, list(_vocab()[:3]), per_site=2),
+        "crawl_parsed_search": _ranked_oracle_sql(
+            sim_trace, pages, links, sorted(set(_vocab()[:3])), per_site=2,
+            admissible=(
+                f"list_contains(tokset, '{_vocab()[0]}') AND "
+                f"(list_contains(tokset, '{_vocab()[1]}') OR "
+                f"list_contains(tokset, '{_vocab()[2]}')) AND "
+                f"NOT list_contains(tokset, '{_vocab()[3]}')")),
         "near_dup_groups": f"""
             WITH RECURSIVE
             tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
