@@ -166,6 +166,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merged = index_products.merge_postings(p)
         return merged.select_columns(["word", "df"]).to_pandas()
 
+    def crawl_postings_multilang(sf_dir: str):
+        # per-language stopword files at index time (O12): each doc's
+        # stoplist follows its lang column
+        p = index_products.build_postings(
+            f"{corpus_for(sf_dir)}/pages.parquet", per_lang_stopwords=True)
+        merged = index_products.merge_postings(p)
+        return merged.select_columns(["word", "df"]).to_pandas()
+
     def crawl_status_stats(sf_dir: str):
         res = _run_crawl(sf_dir, "q_stats")
         return index_products.crawl_status_stats(res.trace_table())
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": crawl_pagerank,
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
+        "crawl_postings_multilang": crawl_postings_multilang,
         "crawl_status_stats": crawl_status_stats,
         "crawl_host_stats": crawl_host_stats,
         "crawl_recrawl_diff": crawl_recrawl_diff,
@@ -498,6 +507,16 @@ def oracle_sql() -> dict[str, str]:
                          FROM read_parquet('{pages}'))
             SELECT word, COUNT(*) AS df FROM tok
             WHERE NOT list_contains({_STOP_EN_SQL}, word)
+            GROUP BY word
+        """,
+        "crawl_postings_multilang": f"""
+            WITH tok AS (SELECT url, unnest(list_distinct({_TOKS})) AS word,
+                                CASE WHEN lang = 'de' THEN {_STOP_DE_SQL}
+                                     WHEN lang = 'fr' THEN {_STOP_FR_SQL}
+                                     ELSE {_STOP_EN_SQL} END AS stops
+                         FROM read_parquet('{pages}'))
+            SELECT word, COUNT(*) AS df FROM tok
+            WHERE NOT list_contains(stops, word)
             GROUP BY word
         """,
         "crawl_clone_groups": f"""

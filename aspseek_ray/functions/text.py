@@ -19,6 +19,7 @@ __all__ = [
     "tokenize",
     "token_count_many",
     "STOPWORDS_EN",
+    "stopwords_for",
     "langid_scores",
     "quality_features",
     "fingerprint64",
@@ -45,6 +46,13 @@ _STOPWORDS_FR = frozenset(
 )
 
 _LANG_STOPS = {"en": STOPWORDS_EN, "de": _STOPWORDS_DE, "fr": _STOPWORDS_FR}
+
+
+def stopwords_for(lang: str | None) -> frozenset:
+    """Per-language stopword list (the reference's per-charset/language
+    etc/stopwords/* files, SURVEY O12): a known language gets its own
+    list; unknown/missing languages fall back to English (pinned)."""
+    return _LANG_STOPS.get(lang or "en", STOPWORDS_EN)
 
 
 def tokenize(text: str) -> list[str]:

@@ -35,22 +35,34 @@ NUM_WORD_BUCKETS = 64
 
 
 def build_postings(pages_path: str, out_dir: str | None = None,
-                   drop_stopwords: bool = True) -> rd.Dataset:
+                   drop_stopwords: bool = True,
+                   per_lang_stopwords: bool = False) -> rd.Dataset:
     """pages -> postings (word, word_bucket, doc_seq, positions). doc_seq
     is the DOC ID: fnv1a64(url) — a content-independent, globally
     consistent 64-bit id assignable with no coordination (NOT crawl/warc
     row order); posting lists are sorted by this id, which is all the
     merge/intersection operators need. Streams straight to partitioned
-    parquet when out_dir is given."""
-    ds = rd.read_parquet(pages_path, columns=["url", "text"])
+    parquet when out_dir is given.
+
+    ``per_lang_stopwords``: the reference's per-language stopword files
+    (O12) — each doc's stoplist follows its ``lang`` column
+    (text.stopwords_for; unknown langs fall back to English)."""
+    cols = ["url", "text"] + (["lang"] if per_lang_stopwords else [])
+    ds = rd.read_parquet(pages_path, columns=cols)
 
     def explode(batch: pa.Table) -> pa.Table:
+        from aspseek_ray.functions.text import stopwords_for
+
         words, docs, positions = [], [], []
         doc_hashes = fnv1a64_arrow(batch["url"])
+        langs = (batch["lang"].to_pylist() if per_lang_stopwords
+                 else [None] * batch.num_rows)
         for i, text in enumerate(batch["text"].to_pylist()):
+            stops = (stopwords_for(langs[i]) if per_lang_stopwords
+                     else STOPWORDS_EN)
             pos_of: dict[str, list[int]] = {}
             for p, w in enumerate(tokenize(text)):
-                if drop_stopwords and w in STOPWORDS_EN:
+                if drop_stopwords and w in stops:
                     continue
                 pos_of.setdefault(w, []).append(p)
             for w, ps in pos_of.items():
