@@ -1,26 +1,34 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed by actor-pool map_batches stages.
+"""Multimodal columns: image/audio/video as ``binary`` payload columns
+with typed metadata, processed by actor-pool map_batches stages.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernel is STUBBED — ``DecodeStage`` raises NotImplementedError when
-``real_decode=True`` and otherwise produces a deterministic fake feature
-vector from the payload bytes. Everything AROUND the kernel is real and
-tested: schema (binary + struct metadata), actor-pool signature, small
-batch sizes for large payloads, and the partitioned output layout.
+Since round 4 the decode kernels are REAL for the uncompressed public
+container formats (functions/media.py, pure numpy): BMP images, PCM16 WAV
+audio, and YUV4MPEG2 (Y4M C444) video. Payloads are sniffed by magic
+bytes; COMPRESSED formats (JPEG/PNG/MP3/H.264...) still raise
+NotImplementedError — that seam is where PIL/ffmpeg would plug in, and
+those libraries are not in this container. The synthetic media generator
+emits real BMP/WAV/Y4M bytes any external tool could open.
 
-At 100-TB scale: payloads dominate block size — keep
-``batch_size`` small (64–256 rows), ``concurrency`` sized to the node,
-and never carry the binary column past the stage that needs it
-(select_columns immediately after feature extraction).
-"""
+At 100-TB scale: payloads dominate block size — keep ``batch_size`` small
+(64–256 rows), ``concurrency`` sized to the node, and never carry the
+binary column past the stage that needs it (the stages below drop it from
+their output)."""
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+from aspseek_ray.functions.media import (
+    bmp_decode,
+    bmp_encode,
+    resize_nearest,
+    wav_decode,
+    wav_encode,
+    y4m_decode,
+    y4m_encode,
+)
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -30,37 +38,67 @@ MEDIA_SCHEMA = pa.schema([
                         ("duration_ms", pa.int32())])),
 ])
 
+FEATURE_DIM = 8
+
+
+def _sniff(payload: bytes) -> str:
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
+    raise NotImplementedError(
+        "compressed/unknown media container (JPEG/PNG/MP3/H.264...) — "
+        "decoding these requires PIL/ffmpeg, not present in this container")
+
 
 class DecodeStage:
-    """Actor-pool decode/feature-extract stage. __init__ loads the codec
-    ONCE per actor (stubbed); __call__ processes one small batch.
+    """Actor-pool decode/feature-extract stage: one small batch per call,
+    REAL pixel/sample math per media type. Output (media_id, media_type,
+    n_bytes, features[8]); the payload column never leaves this stage.
 
-    real_decode=True is the seam where PIL/ffmpeg would plug in.
-    """
+    Feature layout (float32, fixed 8 lanes):
+      image: [w, h, mean_r, mean_g, mean_b, std_luma, aspect, 0]
+      audio: [n_samples, rate, rms, zero_cross_rate, dur_s, peak, ch, 0]
+      video: [n_frames, h, w, fps, mean_luma, std_luma, dur_s, 0]"""
 
-    def __init__(self, feature_dim: int = 8, real_decode: bool = False):
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        assert feature_dim == FEATURE_DIM
         self.feature_dim = feature_dim
-        self.real_decode = real_decode
-        self.codec = "stub-codec-v1"  # stands in for model/codec load
 
-    def _fake_features(self, payload: bytes) -> np.ndarray:
-        # deterministic fake: 8 bytes of blake2b per feature lane
-        out = np.empty(self.feature_dim, dtype=np.float32)
-        for i in range(self.feature_dim):
-            d = hashlib.blake2b(payload, digest_size=8, salt=bytes([i] * 8)).digest()
-            out[i] = int.from_bytes(d, "little") / float(1 << 64)
-        return out
+    def _features(self, payload: bytes) -> np.ndarray:
+        kind = _sniff(payload)
+        f = np.zeros(FEATURE_DIM, dtype=np.float32)
+        if kind == "bmp":
+            img = bmp_decode(payload).astype(np.float32)
+            h, w = img.shape[:2]
+            luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
+            f[:7] = [w, h, img[..., 0].mean(), img[..., 1].mean(),
+                     img[..., 2].mean(), luma.std(), w / h]
+        elif kind == "wav":
+            samples, rate = wav_decode(payload)
+            mono = samples.astype(np.float32).mean(axis=1) / 32768.0
+            n = len(mono)
+            zc = (np.count_nonzero(np.signbit(mono[1:]) !=
+                                   np.signbit(mono[:-1])) / max(1, n - 1))
+            f[:7] = [n, rate, float(np.sqrt((mono ** 2).mean())) if n else 0.0,
+                     zc, n / rate, float(np.abs(mono).max()) if n else 0.0,
+                     samples.shape[1]]
+        else:
+            frames, fps = y4m_decode(payload)
+            n, h, w = frames.shape[:3]
+            y = frames[..., 0].astype(np.float32)
+            f[:7] = [n, h, w, fps, y.mean() if n else 0.0,
+                     y.std() if n else 0.0, n / fps if fps else 0.0]
+        return f
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real_decode:
-            raise NotImplementedError(
-                "real image/audio decode requires PIL/ffmpeg (not in this "
-                "container); wire the codec here")
         feats, n_bytes = [], []
         for p in batch["payload"].to_pylist():
             p = p or b""
             n_bytes.append(len(p))
-            feats.append(self._fake_features(p))
+            feats.append(self._features(p))
         out = batch.select(["media_id", "media_type"])
         out = out.append_column("n_bytes", pa.array(n_bytes, pa.int64()))
         return out.append_column(
@@ -77,35 +115,27 @@ def extract_media_features(ds: rd.Dataset, concurrency: int = 2,
 
 
 class ResizeStage:
-    """Actor-pool image-resize stage (plumbing real, kernel stubbed like
-    DecodeStage): keeps only image rows, emits (media_id, out_w, out_h,
-    payload) where the resized payload is a deterministic fake derived
-    from the source bytes + target dims; ``real_decode=True`` is the PIL
-    seam. Aspect ratio is preserved against the metadata dims (real
-    logic — tested)."""
+    """Actor-pool image-resize stage: REAL BMP decode -> nearest-neighbor
+    resize (aspect preserved, longest side <= max_side) -> BMP re-encode.
+    Keeps only image rows; output (media_id, out_w, out_h, payload)."""
 
-    def __init__(self, max_side: int = 256, real_decode: bool = False):
+    def __init__(self, max_side: int = 256):
         self.max_side = max_side
-        self.real_decode = real_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real_decode:
-            raise NotImplementedError("real resize requires PIL")
         keep = pa.compute.equal(batch["media_type"], "image")
         batch = batch.filter(keep)
         ids, ws, hs, payloads = [], [], [], []
-        metas = batch["meta"].to_pylist()
-        for mid, meta, p in zip(batch["media_id"].to_pylist(), metas,
-                                batch["payload"].to_pylist()):
-            w, h = meta["width"], meta["height"]
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            img = bmp_decode(p or b"")
+            h, w = img.shape[:2]
             scale = min(1.0, self.max_side / max(w, h, 1))
             ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
             ids.append(mid)
             ws.append(ow)
             hs.append(oh)
-            payloads.append(hashlib.blake2b(
-                (p or b"") + ow.to_bytes(4, "little") + oh.to_bytes(4, "little"),
-                digest_size=32).digest())
+            payloads.append(bmp_encode(resize_nearest(img, ow, oh)))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "out_w": pa.array(ws, pa.int32()),
                          "out_h": pa.array(hs, pa.int32()),
@@ -113,39 +143,42 @@ class ResizeStage:
 
 
 class FrameSampleStage:
-    """Actor-pool video frame sampler: explodes each video row into one
-    row per sampled frame (every ``stride_ms``, capped at ``max_frames``)
-    with a deterministic fake frame-feature vector; ``real_decode=True``
-    is the ffmpeg seam. The explode plumbing (row fan-out inside
-    map_batches, payload dropped from the output) is the real pattern a
-    video pipeline needs."""
+    """Actor-pool video frame sampler: REAL Y4M parse, one output row per
+    sampled frame (every ``stride_ms`` of stream time, capped at
+    ``max_frames``), per-frame features from the actual planes:
+    [mean_y, mean_u, mean_v, std_y, std_u, std_v, ts_s, 0]."""
 
     def __init__(self, stride_ms: int = 1000, max_frames: int = 16,
-                 feature_dim: int = 8, real_decode: bool = False):
+                 feature_dim: int = FEATURE_DIM):
         self.stride_ms = stride_ms
         self.max_frames = max_frames
         self.feature_dim = feature_dim
-        self.real_decode = real_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real_decode:
-            raise NotImplementedError("real frame extraction requires ffmpeg")
         keep = pa.compute.equal(batch["media_type"], "video")
         batch = batch.filter(keep)
         ids, idxs, tss, feats = [], [], [], []
-        for mid, meta, p in zip(batch["media_id"].to_pylist(),
-                                batch["meta"].to_pylist(),
-                                batch["payload"].to_pylist()):
-            dur = max(0, meta["duration_ms"])
-            n_frames = min(self.max_frames, dur // self.stride_ms + 1)
-            for fi in range(n_frames):
-                ts = fi * self.stride_ms
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            frames, fps = y4m_decode(p or b"")
+            n = len(frames)
+            if n == 0:
+                continue
+            dur_ms = int(n * 1000 / fps) if fps else 0
+            n_samples = min(self.max_frames,
+                            max(1, dur_ms // self.stride_ms + 1))
+            for si in range(n_samples):
+                ts = si * self.stride_ms
+                fi = min(n - 1, int(ts * fps / 1000))
+                fr = frames[fi].astype(np.float32)
+                f = np.zeros(self.feature_dim, dtype=np.float32)
+                f[:7] = [fr[..., 0].mean(), fr[..., 1].mean(),
+                         fr[..., 2].mean(), fr[..., 0].std(),
+                         fr[..., 1].std(), fr[..., 2].std(), ts / 1000.0]
                 ids.append(mid)
-                idxs.append(fi)
+                idxs.append(si)
                 tss.append(ts)
-                d = hashlib.blake2b((p or b"") + ts.to_bytes(8, "little"),
-                                    digest_size=self.feature_dim).digest()
-                feats.append([b / 255.0 for b in d])
+                feats.append(f.tolist())
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "frame_idx": pa.array(idxs, pa.int32()),
                          "ts_ms": pa.array(tss, pa.int32()),
@@ -170,19 +203,42 @@ def sample_frames(ds: rd.Dataset, stride_ms: int = 1000, max_frames: int = 16,
 
 
 def synth_media_dataset(n: int = 256, seed: int = 9) -> rd.Dataset:
-    """Deterministic fake media table for tests/demos (payload = seeded
-    bytes; metadata typed per MEDIA_SCHEMA)."""
+    """Deterministic media table with REAL payload bytes: BMP noise
+    images, PCM16 WAV tones, Y4M C444 gradient clips — all openable by
+    standard external tools. Metadata matches the encoded content."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    types = ["image", "audio", "video"]
-    rows_payload = [rng.bytes(int(rng.integers(100, 2000))) for _ in range(n)]
+    ids, types, payloads, metas = [], [], [], []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        ids.append(i)
+        types.append(kind)
+        if kind == "image":
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(bmp_encode(img))
+            metas.append({"width": w, "height": h, "duration_ms": 0})
+        elif kind == "audio":
+            rate = 8000
+            dur_ms = int(rng.integers(50, 1500))
+            t = np.arange(rate * dur_ms // 1000, dtype=np.float64) / rate
+            freq = float(rng.integers(100, 2000))
+            wave = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+            payloads.append(wav_encode(wave, rate))
+            metas.append({"width": 0, "height": 0, "duration_ms": dur_ms})
+        else:
+            fps = 5
+            n_frames = int(rng.integers(1, 20))
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            frames = np.stack([(base.astype(np.int64) + 7 * k) % 256
+                               for k in range(n_frames)]).astype(np.uint8)
+            payloads.append(y4m_encode(frames, fps))
+            metas.append({"width": w, "height": h,
+                          "duration_ms": int(n_frames * 1000 / fps)})
     t = pa.table({
-        "media_id": pa.array(np.arange(n, dtype=np.int64)),
-        "media_type": pa.array([types[i % 3] for i in range(n)]),
-        "payload": pa.array(rows_payload, pa.binary()),
-        "meta": pa.array(
-            [{"width": int(rng.integers(16, 4096)),
-              "height": int(rng.integers(16, 4096)),
-              "duration_ms": int(rng.integers(0, 60_000))} for _ in range(n)],
-            type=MEDIA_SCHEMA.field("meta").type),
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
     })
     return rd.from_arrow(t)
