@@ -47,15 +47,29 @@ TRACE_COLS = ["fetch_seq", "round", "url", "host", "depth", "discovery_seq", "st
 _BOUNDS_SAMPLE = 200_000  # max seed urls sampled for shard-boundary weighting
 
 
+# seed tables at or below this row count take the direct driver path
+# (one column read; the Dataset jobs' fixed overhead dominates there);
+# larger frontiers stream through worker tasks. Same semantics either way.
+_SEEDS_DRIVER_MAX = 1_000_000
+
+
+def _seed_count(seeds_path: str) -> int:
+    """Row count from parquet metadata (no data read)."""
+    return pq.ParquetFile(seeds_path).metadata.num_rows
+
+
 def _sample_seed_hosts(seeds_path: str) -> list[str]:
     """Bounded host sample of the seeds table for shard-boundary
-    weighting, drawn by worker tasks: each batch contributes a stride
-    sample, so the driver receives ~_BOUNDS_SAMPLE hosts total no matter
-    how many seeds exist. (The resulting bounds are persisted by the
-    caller; exactness on resume does not depend on batch layout.)"""
-    ds = rd.read_parquet(seeds_path, columns=["url"])
-    n = ds.count()
+    weighting. Small tables are stride-sampled directly; above
+    _SEEDS_DRIVER_MAX worker tasks each contribute a batch-local stride
+    sample, so the driver receives ~_BOUNDS_SAMPLE hosts no matter how
+    many seeds exist. (The resulting bounds are persisted by the caller;
+    exactness on resume does not depend on batch layout.)"""
+    n = _seed_count(seeds_path)
     stride = max(1, n // _BOUNDS_SAMPLE)
+    if n <= _SEEDS_DRIVER_MAX:
+        urls = pq.read_table(seeds_path, columns=["url"])["url"].to_pylist()
+        return [host_of(u) for u in urls[::stride]]
 
     def sample(batch: pa.Table) -> pa.Table:
         picked = batch["url"].to_pylist()[::stride]
@@ -63,7 +77,8 @@ def _sample_seed_hosts(seeds_path: str) -> list[str]:
                                           pa.string())})
 
     return [r["host"] for r in
-            ds.map_batches(sample, batch_format="pyarrow").take_all()]
+            rd.read_parquet(seeds_path, columns=["url"])
+              .map_batches(sample, batch_format="pyarrow").take_all()]
 
 
 @ray.remote
@@ -199,7 +214,8 @@ class Crawler:
             self.redirect_dir = bucket_pages(
                 str(rpath), str(self.out / "redirects_bucketed"),
                 num_buckets=self.cfg.num_page_buckets,
-                columns=["src_url", "dst_url"], url_col="src_url")
+                columns=["src_url", "dst_url"], url_col="src_url",
+                driver_max_rows=1_000_000)
 
         robots = pq.read_table(f"{corpus_dir}/robots.parquet")
         # lex-range host partitioning: global host order == shard-major
@@ -236,26 +252,33 @@ class Crawler:
         follow_hosts: list[list[str]] = [[] for _ in range(self.cfg.num_shards)]
         follow_prefixes: list[list[str]] = [[] for _ in range(self.cfg.num_shards)]
         if self.cfg.follow_mode != "world":
-            # distinct (host, prefix) pairs distilled by a Dataset groupby
-            # — the driver receives O(distinct seed sites), never O(seeds)
-            from ray.data.aggregate import Count
+            # distinct (host, prefix) pairs — direct read for small seed
+            # tables; Dataset groupby above the size switch, where the
+            # driver receives O(distinct seed sites), never O(seeds)
+            spath = f"{corpus_dir}/seeds.parquet"
+            if _seed_count(spath) <= _SEEDS_DRIVER_MAX:
+                us = pq.read_table(spath, columns=["url"])["url"].to_pylist()
+                pairs = sorted({(host_of(u), u[: u.rfind("/") + 1])
+                                for u in us})
+            else:
+                from ray.data.aggregate import Count
 
-            def hp(batch: pa.Table) -> pa.Table:
-                pairs = {(host_of(u), u[: u.rfind("/") + 1])
-                         for u in batch["url"].to_pylist()}
-                return pa.table({
-                    "host": pa.array([h for h, _ in pairs], pa.string()),
-                    "prefix": pa.array([p for _, p in pairs], pa.string())})
+                def hp(batch: pa.Table) -> pa.Table:
+                    ps = {(host_of(u), u[: u.rfind("/") + 1])
+                          for u in batch["url"].to_pylist()}
+                    return pa.table({
+                        "host": pa.array([h for h, _ in ps], pa.string()),
+                        "prefix": pa.array([p for _, p in ps], pa.string())})
 
-            rows = (rd.read_parquet(f"{corpus_dir}/seeds.parquet",
-                                    columns=["url"])
-                      .map_batches(hp, batch_format="pyarrow")
-                      .groupby(["host", "prefix"])
-                      .aggregate(Count(alias_name="_c")).take_all())
-            for r in rows:
-                s = int(shard_of_hosts(self.host_bounds, [r["host"]])[0])
-                follow_hosts[s].append(r["host"])
-                follow_prefixes[s].append(r["prefix"])
+                rows = (rd.read_parquet(spath, columns=["url"])
+                          .map_batches(hp, batch_format="pyarrow")
+                          .groupby(["host", "prefix"])
+                          .aggregate(Count(alias_name="_c")).take_all())
+                pairs = [(r["host"], r["prefix"]) for r in rows]
+            for h, p in pairs:
+                s = int(shard_of_hosts(self.host_bounds, [h])[0])
+                follow_hosts[s].append(h)
+                follow_prefixes[s].append(p)
             follow_hosts = [sorted(set(x)) for x in follow_hosts]
             follow_prefixes = [sorted(set(x)) for x in follow_prefixes]
         ShardActor = ray.remote(CrawlShard)
@@ -279,11 +302,33 @@ class Crawler:
 
     # ------------------------------------------------------------------ setup
     def _offer_seeds(self) -> None:
-        """Stream seeds.parquet through WORKER tasks that shard-and-offer
-        (the round loop's offer_fn pattern): no seed row passes through
-        the driver — it sees only per-batch counter rows and the counted
-        offer barrier. Cold start on a 10^10-url frontier is a Dataset
-        job, not a driver loop."""
+        """Seed the shard frontiers. Small seed tables (<=
+        _SEEDS_DRIVER_MAX) take a direct driver path — one column read,
+        synchronous offers; the Dataset jobs' fixed overhead dominates at
+        that size. Larger frontiers stream seeds.parquet through WORKER
+        tasks that shard-and-offer (the round loop's offer_fn pattern):
+        no seed row passes through the driver — it sees only per-batch
+        counter rows and the counted offer barrier. Identical offer
+        semantics either way."""
+        seeds_path = f"{self.corpus_dir}/seeds.parquet"
+        if _seed_count(seeds_path) <= _SEEDS_DRIVER_MAX:
+            seeds = pq.read_table(seeds_path)
+            urls = seeds["url"]
+            hosts = pa.array([host_of(u) for u in urls.to_pylist()],
+                             pa.string())
+            cand = pa.table({
+                "url": urls,
+                "url_hash": pa.array(fnv1a64_arrow(urls)),
+                "host": hosts,
+                "host_hash": pa.array(fnv1a64_arrow(hosts)),
+                "depth": seeds["depth"],
+                "discovery_seq": seeds["discovery_seq"],
+            })
+            sh = shard_of_hosts(self.host_bounds, hosts.to_pylist())
+            ray.get([self.shards[int(s)].offer.remote(
+                         cand.filter(pa.array(sh == s)))
+                     for s in np.unique(sh)])
+            return
         shards = self.shards
         bounds = self.host_bounds
         S = self.cfg.num_shards

@@ -28,12 +28,21 @@ def add_url_hash(batch: pa.Table, col: str = "url", out: str = "url_hash") -> pa
 
 def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
                  columns: list[str] | None = None,
-                 url_col: str = "url") -> str:
+                 url_col: str = "url",
+                 driver_max_rows: int = 0) -> str:
     """One-time shuffle of a url-keyed table by fnv1a64(url_col) %
     num_buckets into ``out_dir/bucket=K/``. Used for the pages corpus and
     (with url_col='src_url') the redirects table, so a scheduled url and
     its redirect alias land in the same bucket id. Idempotent: skips when
-    a matching manifest exists."""
+    a matching manifest exists.
+
+    ``driver_max_rows``: tables at or below this row count (parquet
+    metadata, no data read) are partitioned directly on the driver — the
+    Dataset job's fixed overhead dominates for small dimension tables
+    (redirects); 0 disables the direct path. Identical layout either
+    way."""
+    import pyarrow.parquet as pq
+
     out = Path(out_dir)
     pages_path = str(Path(pages_path).resolve())  # symlinked corpora match
     manifest = out / "_bucket_manifest.json"
@@ -47,18 +56,56 @@ def bucket_pages(pages_path: str, out_dir: str, num_buckets: int = 16,
         shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
 
-    ds = rd.read_parquet(pages_path, columns=columns or ["url", "html"])
+    cols = columns or ["url", "html"]
+    small = (driver_max_rows > 0 and Path(pages_path).is_file()
+             and pq.ParquetFile(pages_path).metadata.num_rows
+             <= driver_max_rows)
+    if small:
+        t = add_url_hash(pq.read_table(pages_path, columns=cols),
+                         col=url_col)
+        bucket = np.abs(np.asarray(t["url_hash"], dtype=np.int64)) % num_buckets
+        for k in np.unique(bucket):
+            d = out / f"bucket={int(k)}"
+            d.mkdir()
+            pq.write_table(t.filter(pa.array(bucket == k)),
+                           d / "part-0.parquet")
+    else:
+        ds = rd.read_parquet(pages_path, columns=cols)
 
-    def stamp(batch: pa.Table) -> pa.Table:
-        b = add_url_hash(batch, col=url_col)
-        bucket = np.abs(np.asarray(b["url_hash"], dtype=np.int64)) % num_buckets
-        return b.append_column("bucket", pa.array(bucket.astype(np.int32)))
+        def stamp(batch: pa.Table) -> pa.Table:
+            b = add_url_hash(batch, col=url_col)
+            bkt = np.abs(np.asarray(b["url_hash"], dtype=np.int64)) % num_buckets
+            return b.append_column("bucket", pa.array(bkt.astype(np.int32)))
 
-    (ds.map_batches(stamp, batch_format="pyarrow")
-       .write_parquet(str(out), partition_cols=["bucket"]))
+        (ds.map_batches(stamp, batch_format="pyarrow")
+           .write_parquet(str(out), partition_cols=["bucket"]))
     manifest.write_text(json.dumps({"num_buckets": num_buckets,
                                     "source": pages_path}))
     return str(out)
+
+
+# per-WORKER-PROCESS cache of redirect bucket partitions: the tables are
+# tiny (redirects/B rows) and reread on every missing-url batch otherwise;
+# worker processes outlive tasks, so this amortizes to one read per
+# (worker, bucket). Keyed on the newest file mtime for invalidation.
+_REDIRECT_CACHE: dict = {}
+
+
+def _redirect_bucket(redirect_dir: str, bucket: int):
+    import pyarrow.dataset as pads
+
+    path = Path(redirect_dir) / f"bucket={bucket}"
+    if not path.exists():
+        return None
+    files = sorted(path.glob("*.parquet"))
+    stamp = tuple((f.name, f.stat().st_mtime_ns) for f in files)
+    cached = _REDIRECT_CACHE.get(str(path))
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
+    hit = pads.dataset(str(path), format="parquet").to_table(
+        columns=["src_url", "dst_url"]).combine_chunks()
+    _REDIRECT_CACHE[str(path)] = (stamp, hit)
+    return hit
 
 
 class BucketLookup:
@@ -70,7 +117,8 @@ class BucketLookup:
 
     Redirects live in a table bucketed by the SAME url-hash layout as
     pages (bucket_pages url_col='src_url'), so a miss checks only this
-    bucket's redirect partition — no whole-table driver dict anywhere."""
+    bucket's redirect partition (cached per worker process) — no
+    whole-table driver dict anywhere."""
 
     def __init__(self, bucket_dir: str, redirect_dir: str | None = None):
         self.bucket_dir = bucket_dir
@@ -97,12 +145,9 @@ class BucketLookup:
         redirect = [None] * batch.num_rows
         miss = np.nonzero(status_np == 404)[0]
         if self.redirect_dir is not None and miss.size:
-            rpath = Path(self.redirect_dir) / f"bucket={bucket}"
-            if rpath.exists():
+            rt = _redirect_bucket(self.redirect_dir, bucket)
+            if rt is not None and rt.num_rows:
                 miss_urls = pc.take(urls, pa.array(miss))
-                rt = pads.dataset(str(rpath), format="parquet").to_table(
-                    columns=["src_url", "dst_url"],
-                    filter=pc.field("src_url").isin(miss_urls)).combine_chunks()
                 ridx = pc.index_in(miss_urls, value_set=rt["src_url"])
                 hits = np.asarray(pc.is_valid(ridx))
                 if hits.any():

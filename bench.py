@@ -262,6 +262,26 @@ def run_bench() -> dict:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
+    # ---- incremental delta->main index refresh over the headline crawl's
+    # own store rounds (S7/O21): initial build on round 0, then fold each
+    # later round in-place — the timed section is the updates only.
+    from aspseek_ray.pipelines.index_products import (
+        build_postings, update_postings_index)
+
+    rounds = sorted(Path(f"{out}/store").glob("round=*"),
+                    key=lambda p: int(p.name.split("=")[1]))
+    if len(rounds) >= 2:
+        idx = "/tmp/aspseek_ray_bench/idx_update"
+        shutil.rmtree(idx, ignore_errors=True)
+        build_postings(str(rounds[0]), out_dir=idx)
+        t0 = time.monotonic()
+        for rdir in rounds[1:]:
+            update_postings_index(idx, str(rdir))
+        timings["index_incremental_update"] = round(time.monotonic() - t0, 3)
+        print(f"[bench] index_incremental_update "
+              f"({len(rounds) - 1} rounds): "
+              f"{timings['index_incremental_update']}s", file=sys.stderr)
+
     ray.shutdown()
     return {
         "metric": "frontier URLs dequeued+fetched/sec (synthetic CC-style corpus, "

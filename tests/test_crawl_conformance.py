@@ -40,6 +40,21 @@ def test_trace_and_seen_conformance(ray_session, corpus, golden, tmp_path):
     assert seen == golden.seen
 
 
+def test_distributed_seed_path_conformance(ray_session, corpus, golden,
+                                           tmp_path, monkeypatch):
+    """Forcing the worker-task seed-offer path (and the Dataset redirect
+    bucketing) below its size switch must reproduce the exact same trace
+    as the direct driver path — identical offer semantics either way."""
+    import aspseek_ray.pipelines.crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "_SEEDS_DRIVER_MAX", 0)
+    res = run_crawl(corpus, str(tmp_path / "out"), CFG)
+    trace = res.trace_table().to_pylist()
+    assert len(trace) == len(golden.trace)
+    for got, want in zip(trace, golden.trace):
+        assert got == want
+
+
 def test_text_invariant_against_corpus(ray_session, sf_small_dir):
     """Byte-identical extracted text per url (input_hint invariant) as a
     distributed map over the pages table."""
