@@ -269,10 +269,10 @@ def run_bench() -> dict:
         build_postings, update_postings_index)
 
     rounds = sorted(Path(f"{out}/store").glob("round=*"),
-                    key=lambda p: int(p.name.split("=")[1]))
-    if len(rounds) >= 2:
-        idx = "/tmp/aspseek_ray_bench/idx_update"
-        shutil.rmtree(idx, ignore_errors=True)
+                    key=lambda p: int(p.name.split("=")[1]))[:4]
+    if len(rounds) >= 2:   # 3 updates: bounded; each rewrites its dirty
+        idx = "/tmp/aspseek_ray_bench/idx_update"   # buckets (all 64 at
+        shutil.rmtree(idx, ignore_errors=True)      # this round/index ratio)
         build_postings(str(rounds[0]), out_dir=idx)
         t0 = time.monotonic()
         for rdir in rounds[1:]:
