@@ -54,3 +54,22 @@ def test_cli_index(cli_corpus):
     out = str(cli_corpus / "idx")
     _run("index", "--pages", f"{corpus}/pages.parquet", "--out", out)
     assert os.listdir(out)
+
+
+def test_cli_index_incremental_update(cli_corpus):
+    """index --index-dir builds the bucketed raw index; --update folds a
+    crawl round's store in-place and reports the rewritten buckets."""
+    corpus = str(cli_corpus / "corpus")
+    run_out = str(cli_corpus / "run")          # store from the crawl test
+    rounds = sorted(os.listdir(f"{run_out}/store"))
+    assert len(rounds) >= 2
+    idx = str(cli_corpus / "idx_inc")
+    built = json.loads(_run("index", "--pages", f"{run_out}/store/{rounds[0]}",
+                            "--index-dir", idx).strip().splitlines()[-1])
+    assert built["index_dir"] == idx and os.listdir(idx)
+    upd = json.loads(_run("index", "--pages", f"{run_out}/store/{rounds[1]}",
+                          "--index-dir", idx, "--update")
+                     .strip().splitlines()[-1])
+    assert upd["buckets_rewritten"]
+    for k in upd["buckets_rewritten"]:
+        assert os.path.isdir(f"{idx}/word_bucket={k}")
