@@ -132,7 +132,8 @@ def _read_bucketed_postings(index_dir: str) -> rd.Dataset:
 
 def update_postings_index(index_dir: str, store_path: str,
                           purge_doc_seqs: "list[int] | tuple[int, ...]" = (),
-                          broadcast_max_docs: int = 2_000_000) -> list[int]:
+                          broadcast_max_docs: int = 2_000_000,
+                          per_lang_stopwords: bool = False) -> list[int]:
     """Incremental delta→main index refresh (S7/O21 — the reference's
     signature real-time update, src/deltas.cpp + CachePut/Merge role):
     build delta postings from ONE crawl round's stored pages and merge
@@ -162,7 +163,23 @@ def update_postings_index(index_dir: str, store_path: str,
     import shutil
     from pathlib import Path
 
-    delta = build_postings(store_path).materialize()
+    # crash recovery: a previous run that died mid-swap leaves
+    # .old_bucket=K stashes (and possibly a missing word_bucket=K dir —
+    # the swap is stash -> rename-new -> rm-stash). Restore any stash
+    # whose bucket dir is gone, drop the rest, and clear stale tmp dirs
+    # BEFORE reading the index.
+    for stash in Path(index_dir).glob(".old_bucket=*"):
+        part = Path(index_dir) / stash.name.lstrip(".").replace("old_", "word_")
+        if not part.exists():
+            stash.rename(part)
+        else:
+            shutil.rmtree(stash)
+    shutil.rmtree(Path(index_dir) / ".update_tmp", ignore_errors=True)
+
+    # per_lang_stopwords must match the existing index's build setting —
+    # the delta is built under the same stopword policy
+    delta = build_postings(
+        store_path, per_lang_stopwords=per_lang_stopwords).materialize()
 
     # remove-set: docs being refreshed this round (+ explicit purges)
     doc_rows = delta.select_columns(["doc_seq"]).unique("doc_seq")

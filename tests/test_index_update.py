@@ -88,6 +88,43 @@ def test_incremental_update_purges_docs(ray_session, tmp_path):
     assert inc.equals(full)
 
 
+def test_update_recovers_from_crashed_swap(ray_session, tmp_path):
+    """A run that died between the stash and install renames leaves
+    .old_bucket=K with the bucket dir missing; the next update must
+    restore it and still equal the full rebuild."""
+    import shutil
+    from pathlib import Path
+
+    urls = [f"http://h{i % 4}.example/p{i}.html" for i in range(24)]
+    texts = [f"alpha{i % 5} beta{i % 3} steady words here" for i in range(24)]
+    _write_pages(tmp_path / "r0.parquet", urls, texts)
+    _write_pages(tmp_path / "r1.parquet", urls[:6],
+                 [f"rewritten gamma{i}" for i in range(6)])
+    idx = tmp_path / "idx"
+    build_postings(str(tmp_path / "r0.parquet"), out_dir=str(idx))
+
+    # simulate the mid-swap crash on one bucket
+    victim = next(d for d in idx.glob("word_bucket=*"))
+    k = victim.name.split("=")[1]
+    victim.rename(idx / f".old_bucket={k}")
+    # and a stale stash whose bucket still exists (post-install crash)
+    survivor = next(d for d in idx.glob("word_bucket=*"))
+    k2 = survivor.name.split("=")[1]
+    shutil.copytree(survivor, idx / f".old_bucket={k2}")
+
+    update_postings_index(str(idx), str(tmp_path / "r1.parquet"))
+    assert not list(idx.glob(".old_bucket=*"))
+
+    from aspseek_ray.pipelines.index_products import _read_bucketed_postings
+
+    _write_pages(tmp_path / "final.parquet",
+                 urls[:6] + urls[6:],
+                 [f"rewritten gamma{i}" for i in range(6)] + texts[6:])
+    inc = _merged_table(_read_bucketed_postings(str(idx)))
+    full = _merged_table(build_postings(str(tmp_path / "final.parquet")))
+    assert inc.equals(full)
+
+
 def test_broadcast_and_keyed_paths_agree(ray_session, tmp_path):
     urls = [f"http://h{i % 3}.example/p{i}.html" for i in range(30)]
     texts = [f"tok{i % 7} tok{i % 11} stable suffix words" for i in range(30)]
