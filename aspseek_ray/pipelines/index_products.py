@@ -217,13 +217,33 @@ def update_postings_index(index_dir: str, store_path: str,
     if not touched:
         return []
 
-    touched_arr = np.asarray(touched, np.int32)
+    # rewrite pass reads ONLY the touched partition dirs (the pre-pass
+    # above is the one full — column-pruned — scan); re-stamp the
+    # word_bucket column lost by reading partition dirs directly
+    touched_files: list[str] = []
+    for k in touched:
+        d = Path(index_dir) / f"word_bucket={k}"
+        if d.exists():
+            touched_files.extend(sorted(str(f) for f in d.glob("*.parquet")))
+    if touched_files:
+        def restamp(b: pa.Table) -> pa.Table:
+            wb = np.abs(fnv1a64_arrow(b["word"])) % NUM_WORD_BUCKETS
+            t = pa.table({"word": b["word"],
+                          "word_bucket": pa.array(wb.astype(np.int32)),
+                          "doc_seq": b["doc_seq"],
+                          "positions": b["positions"]})
+            return t
 
-    def bucket_fn(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(
-            np.isin(b["word_bucket"].to_numpy(), touched_arr)))
-
-    old_touched = old.map_batches(bucket_fn, batch_format="pyarrow")
+        old_touched = (rd.read_parquet(
+                           touched_files,
+                           columns=["word", "doc_seq", "positions"])
+                         .map_batches(restamp, batch_format="pyarrow"))
+    else:
+        old_touched = rd.from_arrow(pa.table({
+            "word": pa.array([], pa.string()),
+            "word_bucket": pa.array([], pa.int32()),
+            "doc_seq": pa.array([], pa.int64()),
+            "positions": pa.array([], pa.list_(pa.int32()))}))
     if use_broadcast:
         def keep_fn(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
