@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_hopping": relational.events_hopping,
         "events_sessions": relational.events_sessions,
+        "events_asof_join": relational.events_asof_join,
         "supplier_region_stats": relational.supplier_region_stats,
         "docs_with_all_terms": relational.docs_with_all_terms,
         # webtext / training-data ops (oracle-backed)
@@ -699,6 +700,22 @@ def oracle_sql() -> dict[str, str]:
         "docs_with_all_terms": """
             SELECT doc_id FROM documents
             WHERE text LIKE '%spark%' AND text LIKE '%order%'
+        """,
+        "events_asof_join": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id,
+                              ts AS purchase_ts
+                       FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+                  FROM events WHERE event_type = 'view'),
+            j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts,
+                         v.view_id, v.view_ts,
+                         row_number() OVER (
+                             PARTITION BY p.purchase_id
+                             ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+                  FROM p JOIN v ON p.user_id = v.user_id
+                                AND v.view_ts <= p.purchase_ts)
+            SELECT purchase_id, user_id, purchase_ts, view_id, view_ts
+            FROM j WHERE rn = 1
         """,
         "token_stats": f"""
             WITH tok AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks

@@ -61,3 +61,38 @@ def test_presplit_bounds_dominant_user(ray_session, tmp_path):
     # events-per-(user,window) is bounded by window_s / cadence
     per_win = int(window_s // 600)
     assert per_win * (30 * 24 * 3600 // window_s + 1) >= 30 * 144
+
+
+def test_events_asof_join_hand_case(ray_session, tmp_path):
+    """Hand-built as-of case: latest view at-or-before each purchase,
+    ties broken by greatest event_id; viewless purchases dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from aspseek_ray.pipelines.relational import events_asof_join
+
+    t0 = pd.Timestamp("2026-01-01")
+    rows = [
+        # user 1: views at t0, t0+10m (two with SAME ts, ids 3 > 2)
+        (1, 1, "view", t0), (2, 1, "view", t0 + pd.Timedelta(minutes=10)),
+        (3, 1, "view", t0 + pd.Timedelta(minutes=10)),
+        (4, 1, "purchase", t0 + pd.Timedelta(minutes=10)),  # ts tie: joins id 3
+        (5, 1, "purchase", t0 + pd.Timedelta(minutes=5)),   # joins id 1
+        # user 2: purchase BEFORE any view -> dropped
+        (6, 2, "purchase", t0), (7, 2, "view", t0 + pd.Timedelta(minutes=1)),
+        (8, 2, "purchase", t0 + pd.Timedelta(minutes=2)),   # joins id 7
+        # noise types ignored
+        (9, 1, "click", t0 + pd.Timedelta(minutes=9)),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = events_asof_join(str(tmp_path))
+    got = {r["purchase_id"]: r["view_id"] for r in out.to_pylist()}
+    assert got == {4: 3, 5: 1, 8: 7}
