@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": relational.events_hopping,
         "events_sessions": relational.events_sessions,
         "events_asof_join": relational.events_asof_join,
+        "orders_price_band_join": relational.orders_price_band_join,
         "supplier_region_stats": relational.supplier_region_stats,
         "docs_with_all_terms": relational.docs_with_all_terms,
         # webtext / training-data ops (oracle-backed)
@@ -700,6 +701,17 @@ def oracle_sql() -> dict[str, str]:
         "docs_with_all_terms": """
             SELECT doc_id FROM documents
             WHERE text LIKE '%spark%' AND text LIKE '%order%'
+        """,
+        "orders_price_band_join": """
+            WITH bands(band_id, lo, hi) AS (VALUES
+                (CAST(0 AS BIGINT), 0.0, 50000.0),
+                (1, 50000.0, 150000.0),
+                (2, 150000.0, 300000.0),
+                (3, 300000.0, 450000.0),
+                (4, 450000.0, 1e308))
+            SELECT o.o_orderkey, b.band_id, b.lo AS band_lo
+            FROM orders o
+            JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         """,
         "events_asof_join": """
             WITH p AS (SELECT event_id AS purchase_id, user_id,

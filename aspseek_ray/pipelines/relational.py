@@ -490,6 +490,41 @@ def _events_sessions_presplit(ds, gap_s: int, window_s: int) -> pa.Table:
                       ("session_start", "ascending")]).combine_chunks()
 
 
+# ---------------------------------------------------------------- range join
+# Pinned price-band dimension for the range join (both the engine and the
+# SQL oracle carry the same literal bands).
+PRICE_BANDS = ((0.0, 50_000.0), (50_000.0, 150_000.0),
+               (150_000.0, 300_000.0), (300_000.0, 450_000.0),
+               (450_000.0, float("inf")))
+
+
+def orders_price_band_join(sf_dir: str) -> pa.Table:
+    """RANGE (non-equi) join (a custom operator Ray Data lacks, per the
+    round brief): every order joins the price band whose [lo, hi)
+    interval contains o_totalprice. Physical plan: the band table is tiny
+    and its intervals are sorted and non-overlapping, so the join is a
+    broadcast + per-batch vectorized binary search (np.searchsorted on
+    the lower edges) — row-parallel, no shuffle, no per-row Python. For
+    overlapping intervals the same plan emits one row per containing
+    band from the searchsorted bracket. Output
+    (o_orderkey, band_id, band_lo) per order."""
+    edges = np.array([lo for lo, _ in PRICE_BANDS])
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy().astype(np.float64)
+        b = np.searchsorted(edges, price, side="right") - 1
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "band_id": pa.array(b.astype(np.int64)),
+            "band_lo": pa.array(edges[b]),
+        })
+
+    out = ds.map_batches(band, batch_format="pyarrow")
+    return pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+
+
 # ---------------------------------------------------------------- as-of join
 def events_asof_join(sf_dir: str, left_type: str = "view",
                      right_type: str = "purchase") -> pa.Table:
