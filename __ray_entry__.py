@@ -254,6 +254,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             query=f"{v[0]} AND ({v[1]} OR {v[2]}) NOT {v[3]}", per_site=2)
         return t.select(["host", "url", "score"])
 
+    def _hll_distinct_users(sf_dir: str):
+        # approximate by design (rows-only): HyperLogLog distinct-count;
+        # accuracy vs COUNT(DISTINCT) is asserted in tests/test_sketches
+        from aspseek_ray.pipelines.sketches import hll_distinct
+
+        return hll_distinct(sf_dir, "events", "user_id")
+
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             extract_media_features,
@@ -332,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parsed_search": crawl_parsed_search,
         # rows-only (non-SQL-expressible: iterative / approximate /
         # stateful)
+        "hll_distinct_users": _hll_distinct_users,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # oracle-backed: recursive-CTE min-label closure over the exact
         # jaccard pairs

@@ -1,0 +1,53 @@
+"""HyperLogLog distinct-count sketch: accuracy vs exact COUNT(DISTINCT),
+merge correctness (batching invariance), and estimator edge cases."""
+
+import numpy as np
+
+from aspseek_ray.pipelines.sketches import (
+    _registers,
+    hll_distinct,
+    hll_estimate,
+)
+
+
+def test_hll_accuracy_against_exact(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    for col, expected_err in [("user_id", 0.05), ("event_id", 0.05)]:
+        est = hll_distinct(sf, "events", col)["estimate"][0].as_py()
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT {col}) FROM "
+            f"read_parquet('{sf}/events.parquet')").fetchone()[0]
+        assert abs(est - exact) / exact < expected_err, (col, est, exact)
+
+
+def test_hll_merge_is_batching_invariant():
+    """Folding the same values in one pass or many must give identical
+    registers — the max-merge property the distributed plan relies on."""
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 62, size=20_000, dtype=np.int64).astype(np.uint64)
+    p = 12
+    one_i, one_r = _registers(vals, p)
+    full = np.zeros(1 << p, np.int64)
+    full[one_i] = one_r
+    merged = np.zeros(1 << p, np.int64)
+    for chunk in np.array_split(vals, 7):
+        i, r = _registers(chunk, p)
+        np.maximum.at(merged, i, r)
+    assert np.array_equal(full, merged)
+    # duplicates never change the sketch
+    i2, r2 = _registers(np.concatenate([vals, vals[:500]]), p)
+    dup = np.zeros(1 << p, np.int64)
+    dup[i2] = r2
+    assert np.array_equal(full, dup)
+
+
+def test_hll_estimator_edges():
+    # empty sketch -> linear counting says 0
+    assert hll_estimate(np.zeros(4096, np.int64)) == 0.0
+    # tiny cardinalities are near-exact via linear counting
+    i, r = _registers(np.arange(10, dtype=np.uint64), 12)
+    regs = np.zeros(4096, np.int64)
+    regs[i] = r
+    assert abs(hll_estimate(regs) - 10) < 1.0
