@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_df": textstats.word_document_frequency,
         "exact_dedup": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs,
+        # n-gram (shingle) Jaccard variant over the same exact PPJoin plan
+        "jaccard_ngram_pairs": lambda sf_dir: dedup.jaccard_pairs(
+            sf_dir, threshold=0.5, ngram=3),
         "embedding_near_dup": lambda sf_dir: dedup.embedding_near_dup_pairs(sf_dir, threshold=0.4),
         # the scale plan of the same op, forced on (rows-only: approximate
         # recall by design; never builds a whole-table matrix or O(n^2))
@@ -761,6 +764,28 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
                       FROM tok a JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        """,
+        "jaccard_ngram_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            ng AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2])) AS grams
+                   FROM tok WHERE len(toks) >= 3),
+            e AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS i
+                      FROM e a JOIN e b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
                       GROUP BY a.doc_id, b.doc_id)
             SELECT doc_a, doc_b,
                    ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard

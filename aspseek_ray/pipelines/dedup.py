@@ -54,21 +54,34 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------- word-set jaccard
-def _doc_token_hashes(text: str) -> np.ndarray:
-    """Sorted distinct fnv1a64 hashes of a document's tokens."""
-    toks = set(tokenize(text))
-    if not toks:
+def _doc_token_hashes(text: str, ngram: int = 1) -> np.ndarray:
+    """Sorted distinct fnv1a64 hashes of a document's set elements:
+    tokens (ngram=1) or space-joined token n-gram shingles (ngram>1 — the
+    brief's n-gram Jaccard variant; a doc shorter than n tokens has an
+    empty set)."""
+    toks = tokenize(text)
+    if ngram > 1:
+        elems = {" ".join(toks[i:i + ngram])
+                 for i in range(len(toks) - ngram + 1)}
+    else:
+        elems = set(toks)
+    if not elems:
         return np.empty(0, np.int64)
-    return np.unique(np.fromiter((fnv1a64(w) for w in toks), np.int64, len(toks)))
+    return np.unique(np.fromiter((fnv1a64(w) for w in elems),
+                                 np.int64, len(elems)))
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                  hot_k: int = 65536, cand_salt: int = 1024) -> pa.Table:
+                  hot_k: int = 65536, cand_salt: int = 1024,
+                  ngram: int = 1) -> pa.Table:
     """EXACT all-pairs word-set Jaccard >= threshold via PREFIX FILTERING
     (PPJoin/All-Pairs family — Bayardo et al. 2007, Xiao et al. 2008,
     public algorithms). Output (doc_a, doc_b, jaccard), doc_a < doc_b,
     jaccard rounded to 4 — identical pair set to the naive inverted-index
-    all-pairs join (prefix filtering is lossless for J >= t).
+    all-pairs join (prefix filtering is lossless for J >= t). ``ngram``:
+    set elements are token n-gram shingles instead of single tokens (the
+    n-gram Jaccard variant; the whole PPJoin machinery is
+    element-agnostic).
 
     Stages (ONE data shuffle; no joins, no pair-dedup pass):
       1. df sweep: explode distinct (word_hash, doc_id), groupby -> global
@@ -100,7 +113,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     def explode(batch: pa.Table) -> pa.Table:
         doc_ids, words = [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for wh in _doc_token_hashes(t):
+            for wh in _doc_token_hashes(t, ngram):
                 doc_ids.append(d)
                 words.append(int(wh))
         return pa.table({"word_hash": pa.array(words, pa.int64()),
@@ -116,7 +129,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         hot = ray.get(hot_ref)
         grp_c, word_c, doc_c, size_c, plen_c, blob_c = [], [], [], [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            hs = _doc_token_hashes(t)
+            hs = _doc_token_hashes(t, ngram)
             n = len(hs)
             if n == 0:
                 continue
