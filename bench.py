@@ -254,7 +254,9 @@ def run_bench() -> dict:
                      "events_hourly", "token_stats", "word_df", "exact_dedup",
                      "ann_topk", "minhash_lsh_pairs", "simhash_near_pairs",
                      "quality_scores", "embedding_near_dup",
-                     "boolean_and_search", "tfidf_search"]
+                     "boolean_and_search", "tfidf_search",
+                     "events_asof_join", "orders_price_band_join",
+                     "hll_distinct_users"]
     for name in bench_queries:
         t0 = time.monotonic()
         r = q[name](SF_DIR)
