@@ -377,6 +377,55 @@ _STOP_FR_SQL = ("['" + "','".join(
     "plus par au il elle nous vous ils sont être cette aux ou où donc".split())
     + "']")
 
+# ---- 64-bit hash mirrors for the dedup/sketch oracles ---------------------
+# The engine's fixed hashes (FNV-1a64 over UTF-8 bytes; the splitmix64
+# finalizer) re-expressed in ANSI SQL so minhash / simhash / fingerprint /
+# HLL results can be checked BITWISE by DuckDB. All arithmetic runs in
+# HUGEINT mod 2^64; a 64x64-bit wraparound product can overflow HUGEINT, so
+# _mul64c splits the variable operand into 32-bit halves (the FNV prime is
+# 41 bits, so plain `* prime % 2^64` stays in range). Corpus text is ASCII
+# (asserted by fixtures), so ascii(substr(s,i,1)) IS the UTF-8 byte.
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _mul64c(x: str, c: int) -> str:
+    """SQL for (x * c) mod 2^64 with x in [0, 2^64) and constant c."""
+    clo = c % 2**32
+    return (f"((({x}) % 4294967296) * {c}::HUGEINT + "
+            f"(((({x}) // 4294967296) * {clo}) % 4294967296) * 4294967296)"
+            f" % {_M64}")
+
+
+def _fnv_sql(expr: str) -> str:
+    """SQL for fnv1a64(expr) of an ASCII string expression, HUGEINT."""
+    return f"""list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             list_transform(range(1, length({expr})+1),
+                            i -> ascii(substr({expr},i,1))::HUGEINT)),
+           (h, b) -> (xor(h, b) * 1099511628211) % {_M64})"""
+
+
+def _mix_ctes(src: str, carry: str = "") -> str:
+    """Chained CTEs m1_/m2_/mixed_ applying the splitmix64 FINALIZER
+    (state/cuckoo._mix / sketches._splitmix64 after its golden-ratio add)
+    to column x of CTE ``src``; ``carry`` columns ride along. The final
+    CTE ``mixed_`` exposes the mixed value as column v."""
+    s1 = "xor(x, x // 1073741824)"    # x ^ (x >> 30)
+    s2 = "xor(x, x // 134217728)"     # x ^ (x >> 27)
+    return f"""m1_ AS (SELECT {carry}{_mul64c(s1, 0xBF58476D1CE4E5B9)} AS x
+               FROM {src}),
+        m2_ AS (SELECT {carry}{_mul64c(s2, 0x94D049BB133111EB)} AS x FROM m1_),
+        mixed_ AS (SELECT {carry}xor(x, x // 2147483648) AS v FROM m2_)"""
+
+
+def _minhash_seed_values() -> str:
+    """The engine's 64 minhash xor-seeds (dedup._minhash_params — a fixed
+    PCG stream, i.e. constants of the hash family) as a SQL VALUES list."""
+    from aspseek_ray.pipelines.dedup import _minhash_params
+
+    return ",".join(f"({k}, {int(s)}::HUGEINT)"
+                    for k, s in enumerate(_minhash_params(64)))
+
 
 def _pagerank_ctes(links: str, pages: str, iters: int = 10,
                    damping: float = 0.85) -> tuple[str, str]:
@@ -793,6 +842,138 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        """,
+        # ---- hash-mirror oracles (bitwise via _fnv_sql/_mix_ctes) --------
+        # fingerprint64: per-token FNV-1a64 folded into a polynomial
+        # rolling hash over the token stream (functions/text.py:102)
+        "fingerprints": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+            th AS (SELECT doc_id,
+                     list_transform(tokens, t ->
+                       list_reduce(
+                         list_prepend(11400714819323198485::HUGEINT,
+                           list_transform(range(1, length(t)+1),
+                                          i -> ascii(substr(t,i,1))::HUGEINT)),
+                         (h, b) -> (xor(h, b) * 1099511628211) % {_M64})
+                     ) AS token_hashes
+                   FROM toks),
+            fp AS (SELECT doc_id,
+                     list_reduce(
+                       list_prepend(14695981039346656037::HUGEINT,
+                                    token_hashes),
+                       (h, t) -> xor((h * 1099511628211) % {_M64}, t)) AS v
+                   FROM th)
+            SELECT doc_id,
+                   CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                             THEN v - {_M64} ELSE v END AS BIGINT) AS fp64
+            FROM fp
+        """,
+        # SimHash (Charikar 2002): tf-weighted bit votes over FNV token
+        # hashes; the engine's 4-block pigeonhole LSH is LOSSLESS for
+        # hamming <= 3 (a pair differing in <= 3 bits agrees on >= 1 of 4
+        # 16-bit blocks), so the oracle is the plain quadratic truth:
+        # every pair with bit_count(xor) <= 3.
+        "simhash_near_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+            tok_counts AS (SELECT doc_id, tok, count(*)::HUGEINT AS cnt
+                           FROM toks, unnest(tokens) AS u(tok)
+                           GROUP BY doc_id, tok),
+            hashed AS (SELECT doc_id, cnt, {_fnv_sql("tok")} AS h
+                       FROM tok_counts),
+            votes AS (SELECT doc_id, k,
+                             sum(cnt * (2 * ((h // (1::HUGEINT << k)) % 2)
+                                        - 1)) AS v
+                      FROM hashed, unnest(range(0, 64)) AS b(k)
+                      GROUP BY doc_id, k),
+            sims AS (SELECT doc_id,
+                            coalesce(sum(CASE WHEN v > 0
+                                              THEN (1::HUGEINT << k)
+                                              ELSE 0 END),
+                                     0::HUGEINT) AS simhash
+                     FROM votes GROUP BY doc_id),
+            all_docs AS (SELECT d.doc_id,
+                                coalesce(s.simhash, 0::HUGEINT) AS simhash
+                         FROM documents d LEFT JOIN sims s USING (doc_id))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM all_docs a JOIN all_docs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # MinHash+LSH: sig[k] = min over distinct 3-token shingles of
+        # splitmix64(fnv(shingle) ^ seed_k) with the engine's 64 PCG-drawn
+        # seeds embedded as literals (they are parameters of the hash
+        # family, not data); candidates = pairs agreeing on >= 1 of 16
+        # 4-row bands; est = signature agreement. round_even matches
+        # np.round (banker's) on the k/64 grid.
+        "minhash_lsh_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+            shingles AS (SELECT doc_id,
+                CASE WHEN len(tokens) = 0 THEN ['']
+                     WHEN len(tokens) < 3
+                       THEN [array_to_string(tokens, ' ')]
+                     ELSE list_distinct(list_transform(
+                         range(1, len(tokens)-1),
+                         j -> tokens[j] || ' ' || tokens[j+1] || ' '
+                              || tokens[j+2]))
+                END AS sh
+              FROM toks),
+            sh_hash AS (SELECT doc_id, {_fnv_sql("s")} AS h
+                        FROM shingles, unnest(sh) AS u(s)),
+            seeds(k, seed) AS (VALUES {_minhash_seed_values()}),
+            seeded_ AS (SELECT doc_id, k, xor(h, seed) AS x
+                        FROM sh_hash CROSS JOIN seeds),
+            {_mix_ctes("seeded_", carry="doc_id, k, ")},
+            sig AS (SELECT doc_id, list(minv ORDER BY k) AS s
+                    FROM (SELECT doc_id, k, min(v) AS minv FROM mixed_
+                          GROUP BY doc_id, k)
+                    GROUP BY doc_id),
+            band_rows AS (SELECT doc_id, bi,
+                                 list_slice(s, 4*bi+1, 4*bi+4) AS band
+                          FROM sig, unnest(range(0, 16)) AS b(bi)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM band_rows a JOIN band_rows b
+                       ON a.bi = b.bi AND a.band = b.band
+                          AND a.doc_id < b.doc_id),
+            est AS (SELECT c.doc_a, c.doc_b,
+                       round_even(list_sum(list_transform(range(1, 65),
+                           k -> CASE WHEN sa.s[k] = sb.s[k]
+                                     THEN 1 ELSE 0 END)) / 64.0,
+                           4) AS est_jaccard
+                    FROM cand c
+                    JOIN sig sa ON sa.doc_id = c.doc_a
+                    JOIN sig sb ON sb.doc_id = c.doc_b)
+            SELECT * FROM est WHERE est_jaccard >= 0.5
+        """,
+        # HyperLogLog (Flajolet 2007) with p=12: register index = low 12
+        # bits of splitmix64(user_id), rank = 1 + trailing zeros of the
+        # remaining bits (bit_count(x # (x-1)) counts the low set-bit run);
+        # standard linear-counting / bias branch mirrored from
+        # sketches.hll_estimate. Deterministic given the hash, hence
+        # oracle-exact despite being an approximate sketch.
+        "hll_distinct_users": f"""
+            WITH vals AS (SELECT DISTINCT
+                              ((user_id::HUGEINT + {_M64}) % {_M64}) AS v0
+                          FROM events),
+            golden_ AS (SELECT ((v0 + 11400714819323198485::HUGEINT)
+                                % {_M64}) AS x FROM vals),
+            {_mix_ctes("golden_")},
+            ranks AS (SELECT (v % 4096)::BIGINT AS reg,
+                             CASE WHEN (v // 4096) = 0 THEN 53
+                                  ELSE bit_count(xor(v // 4096,
+                                                     v // 4096 - 1))::BIGINT
+                             END AS rank
+                      FROM mixed_),
+            regs AS (SELECT reg, max(rank) AS r FROM ranks GROUP BY reg),
+            stats AS (SELECT (4096 - count(*))::DOUBLE AS zeros,
+                             sum(power(2.0, -r)) + (4096 - count(*)) AS s
+                      FROM regs),
+            est AS (SELECT CASE
+                WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / s
+                         <= 2.5 * 4096 AND zeros > 0
+                THEN 4096.0 * ln(4096.0 / zeros)
+                ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / s
+              END AS estimate FROM stats)
+            SELECT estimate, 12::BIGINT AS p FROM est
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
