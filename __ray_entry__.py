@@ -109,6 +109,24 @@ def _sim_trace_parquet() -> str:
     return str(out)
 
 
+def _media_parquet() -> str:
+    """Oracle input for the multimodal pixel-stats query: the synthetic
+    media table (real BMP/WAV/Y4M payload bytes, deterministic seed)
+    materialized once under /tmp; the oracle SQL decodes the BMP bytes
+    itself via hex extraction."""
+    import pyarrow.parquet as pq
+
+    out = Path(f"/tmp/aspseek_ray_oracle/{_CORPUS_VERSION}/media.parquet")
+    if not out.exists():
+        from aspseek_ray.pipelines.multimodal import synth_media_table
+
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(".parquet.tmp")
+        pq.write_table(synth_media_table(256), tmp)
+        tmp.rename(out)
+    return str(out)
+
+
 def _run_crawl(sf_dir: str, out_name: str):
     import shutil
 
@@ -269,6 +287,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return extract_media_features(synth_media_dataset(256)).to_pandas()
 
+    def multimodal_pixel_stats(sf_dir: str):
+        # oracle-backed: exact per-channel means from int64 byte sums;
+        # the SQL oracle re-decodes the BMP payload bytes itself, so a
+        # codec bug on either side breaks the match
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_pixel_stats
+
+        ds = rd.read_parquet(_media_parquet(),
+                             columns=["media_id", "media_type", "payload"])
+        return media_pixel_stats(ds).to_pandas()
+
     def multimodal_frames(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             sample_frames,
@@ -353,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_search": search.stemmed_search,
         "fingerprints": textstats.fingerprints,
         "multimodal_features": multimodal_features,
+        "multimodal_pixel_stats": multimodal_pixel_stats,
         "multimodal_frames": multimodal_frames,
     }
 
@@ -416,6 +447,14 @@ def _mix_ctes(src: str, carry: str = "") -> str:
                FROM {src}),
         m2_ AS (SELECT {carry}{_mul64c(s2, 0x94D049BB133111EB)} AS x FROM m1_),
         mixed_ AS (SELECT {carry}xor(x, x // 2147483648) AS v FROM m2_)"""
+
+
+def _byte_sql(pos: str) -> str:
+    """SQL for the 0-based byte ``pos`` of a blob hex-dumped into column
+    hx (lower-case): two strpos lookups into the hex alphabet."""
+    return (f"((strpos('0123456789abcdef', substr(hx, 2*({pos})+1, 1)) - 1)"
+            f" * 16 + "
+            f"strpos('0123456789abcdef', substr(hx, 2*({pos})+2, 1)) - 1)")
 
 
 def _minhash_seed_values() -> str:
@@ -974,6 +1013,39 @@ def oracle_sql() -> dict[str, str]:
                 ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / s
               END AS estimate FROM stats)
             SELECT estimate, 12::BIGINT AS p FROM est
+        """,
+        # BMP re-decoded from the payload BYTES in SQL (hex dump ->
+        # header fields -> per-channel byte sums over the bottom-up
+        # BGR rows, padding stripped): an independent check of the
+        # functions/media.py codec, exact because both sides divide
+        # int64 byte sums. Rows are BGR, so channel k%3==2 is red.
+        "multimodal_pixel_stats": f"""
+            WITH imgs AS (
+              SELECT media_id, lower(hex(payload)) AS hx
+              FROM read_parquet('{_media_parquet()}')
+              WHERE media_type = 'image'),
+            hdr AS (
+              SELECT media_id, hx,
+                     {_byte_sql("10")} + 256 * {_byte_sql("11")}
+                       + 65536 * {_byte_sql("12")}
+                       + 16777216 * {_byte_sql("13")} AS off,
+                     {_byte_sql("18")} + 256 * {_byte_sql("19")} AS w,
+                     {_byte_sql("22")} + 256 * {_byte_sql("23")} AS h
+              FROM imgs),
+            strided AS (
+              SELECT media_id, hx, off, w, h,
+                     ((w * 3 + 3) // 4) * 4 AS stride
+              FROM hdr),
+            px AS (
+              SELECT media_id, w, h, (pos % stride) % 3 AS ch,
+                     {_byte_sql("off + pos")} AS v
+              FROM strided, unnest(range(0, stride * h)) AS t(pos)
+              WHERE (pos % stride) < w * 3)
+            SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+                   (sum(v) FILTER (ch = 2))::DOUBLE / (w * h) AS mean_r,
+                   (sum(v) FILTER (ch = 1))::DOUBLE / (w * h) AS mean_g,
+                   (sum(v) FILTER (ch = 0))::DOUBLE / (w * h) AS mean_b
+            FROM px GROUP BY media_id, w, h
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

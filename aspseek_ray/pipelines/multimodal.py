@@ -202,10 +202,52 @@ def sample_frames(ds: rd.Dataset, stride_ms: int = 1000, max_frames: int = 16,
                           concurrency=concurrency)
 
 
-def synth_media_dataset(n: int = 256, seed: int = 9) -> rd.Dataset:
+class PixelStatsStage:
+    """Actor-pool image pixel statistics in EXACT arithmetic: per-channel
+    means from int64 byte sums (one float64 division at the end), so the
+    result is bit-reproducible and can be checked by a SQL oracle that
+    extracts the same BMP bytes. Keeps only image rows; output
+    (media_id, width, height, mean_r, mean_g, mean_b)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch["media_type"], "image")
+        batch = batch.filter(keep)
+        ids, ws, hs = [], [], []
+        mr, mg, mb = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            img = bmp_decode(p or b"")
+            h, w = img.shape[:2]
+            s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            n = h * w
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            mr.append(s[0] / n)
+            mg.append(s[1] / n)
+            mb.append(s[2] / n)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "width": pa.array(ws, pa.int64()),
+                         "height": pa.array(hs, pa.int64()),
+                         "mean_r": pa.array(mr, pa.float64()),
+                         "mean_g": pa.array(mg, pa.float64()),
+                         "mean_b": pa.array(mb, pa.float64())})
+
+
+def media_pixel_stats(ds: rd.Dataset, concurrency: int = 2,
+                      batch_size: int = 128) -> rd.Dataset:
+    """Exact per-image channel means over a MEDIA_SCHEMA dataset — the
+    oracle-checkable slice of the decode stage (DecodeStage's float32
+    feature lanes are NOT bit-mirrorable in SQL; integer byte sums are)."""
+    return ds.map_batches(PixelStatsStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def synth_media_table(n: int = 256, seed: int = 9) -> pa.Table:
     """Deterministic media table with REAL payload bytes: BMP noise
     images, PCM16 WAV tones, Y4M C444 gradient clips — all openable by
-    standard external tools. Metadata matches the encoded content."""
+    standard external tools. Metadata matches the encoded content.
+    Pure-Arrow builder (no Ray) so oracle fixtures can materialize it."""
     rng = np.random.Generator(np.random.PCG64(seed))
     ids, types, payloads, metas = [], [], [], []
     for i in range(n):
@@ -235,10 +277,13 @@ def synth_media_dataset(n: int = 256, seed: int = 9) -> rd.Dataset:
             payloads.append(y4m_encode(frames, fps))
             metas.append({"width": w, "height": h,
                           "duration_ms": int(n_frames * 1000 / fps)})
-    t = pa.table({
+    return pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "media_type": pa.array(types, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
         "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
     })
-    return rd.from_arrow(t)
+
+
+def synth_media_dataset(n: int = 256, seed: int = 9) -> rd.Dataset:
+    return rd.from_arrow(synth_media_table(n, seed))

@@ -127,3 +127,27 @@ def test_resize_stage_real_pixels(ray_session):
     for _, row in r.iterrows():      # payload is a REAL decodable BMP
         img = bmp_decode(row["payload"])
         assert img.shape == (row["out_h"], row["out_w"], 3)
+
+
+def test_pixel_stats_exact(ray_session):
+    """PixelStatsStage means equal the decoded image's exact channel means
+    (int64 sums / n) and only image rows survive."""
+    from aspseek_ray.pipelines.multimodal import (
+        media_pixel_stats,
+        synth_media_dataset,
+        synth_media_table,
+    )
+
+    r = media_pixel_stats(synth_media_dataset(30)).to_pandas()
+    src = synth_media_table(30).to_pylist()
+    imgs = {row["media_id"]: row for row in src
+            if row["media_type"] == "image"}
+    assert set(r["media_id"]) == set(imgs)
+    for _, row in r.iterrows():
+        img = bmp_decode(imgs[row["media_id"]]["payload"])
+        h, w = img.shape[:2]
+        assert (row["width"], row["height"]) == (w, h)
+        s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert row["mean_r"] == s[0] / (w * h)
+        assert row["mean_g"] == s[1] / (w * h)
+        assert row["mean_b"] == s[2] / (w * h)
