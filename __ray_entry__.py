@@ -299,6 +299,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_pixel_stats(ds).to_pandas()
 
+    def multimodal_audio_stats(sf_dir: str):
+        # oracle-backed: exact channel-0 PCM16 stats; the SQL oracle
+        # re-parses the WAV bytes (header fields + LE sample words)
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_audio_stats
+
+        ds = rd.read_parquet(_media_parquet(),
+                             columns=["media_id", "media_type", "payload"])
+        return media_audio_stats(ds).to_pandas()
+
+    def multimodal_frame_luma(sf_dir: str):
+        # oracle-backed: exact per-frame luma means; the SQL oracle
+        # re-parses the Y4M stream (ASCII header + FRAME markers + Y plane)
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_frame_luma
+
+        ds = rd.read_parquet(_media_parquet(),
+                             columns=["media_id", "media_type", "payload"])
+        return media_frame_luma(ds).to_pandas()
+
     def multimodal_frames(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             sample_frames,
@@ -384,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "multimodal_features": multimodal_features,
         "multimodal_pixel_stats": multimodal_pixel_stats,
+        "multimodal_audio_stats": multimodal_audio_stats,
+        "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
     }
 
@@ -1046,6 +1070,90 @@ def oracle_sql() -> dict[str, str]:
                    (sum(v) FILTER (ch = 1))::DOUBLE / (w * h) AS mean_g,
                    (sum(v) FILTER (ch = 0))::DOUBLE / (w * h) AS mean_b
             FROM px GROUP BY media_id, w, h
+        """,
+        # PCM16 WAV re-parsed from the payload bytes in SQL: header
+        # fields at the encoder's canonical RIFF layout (fmt at 12,
+        # data at 36), samples as LE 16-bit words with two's-complement
+        # sign, zero crossings via a lag window. Channel 0, like the
+        # engine stage.
+        "multimodal_audio_stats": f"""
+            WITH wavs AS (
+              SELECT media_id, lower(hex(payload)) AS hx
+              FROM read_parquet('{_media_parquet()}')
+              WHERE media_type = 'audio'),
+            hdr AS (
+              SELECT media_id, hx,
+                     {_byte_sql("22")} + 256 * {_byte_sql("23")} AS ch,
+                     {_byte_sql("24")} + 256 * {_byte_sql("25")}
+                       + 65536 * {_byte_sql("26")}
+                       + 16777216 * {_byte_sql("27")} AS rate,
+                     ({_byte_sql("40")} + 256 * {_byte_sql("41")}
+                       + 65536 * {_byte_sql("42")}
+                       + 16777216 * {_byte_sql("43")}) AS data_size
+              FROM wavs),
+            samp AS (
+              SELECT media_id, rate, data_size // (2 * ch) AS n, i,
+                     CASE WHEN {_byte_sql("44 + i*2*ch + 1")} >= 128
+                          THEN {_byte_sql("44 + i*2*ch")}
+                               + 256 * {_byte_sql("44 + i*2*ch + 1")}
+                               - 65536
+                          ELSE {_byte_sql("44 + i*2*ch")}
+                               + 256 * {_byte_sql("44 + i*2*ch + 1")}
+                     END AS v
+              FROM hdr, unnest(range(0, data_size // (2 * ch))) AS t(i)),
+            flips AS (
+              SELECT media_id, rate, n, v,
+                     CASE WHEN i > 0 AND (v < 0) !=
+                          (lag(v) OVER (PARTITION BY media_id
+                                        ORDER BY i) < 0)
+                          THEN 1 ELSE 0 END AS flip
+              FROM samp)
+            SELECT media_id, n AS n_samples, rate::BIGINT AS rate,
+                   max(abs(v))::BIGINT AS peak_abs,
+                   sum(v)::DOUBLE / n AS mean_sample,
+                   sum(flip)::BIGINT AS zero_cross
+            FROM flips GROUP BY media_id, n, rate
+        """,
+        # Y4M stream re-parsed in SQL: the ASCII header line is
+        # recovered byte-aligned (first 0x0a byte, then unhex->decode),
+        # W/H/F extracted by regex, then per-frame Y-plane byte sums
+        # over the FRAME-marker-strided layout.
+        "multimodal_frame_luma": f"""
+            WITH vids AS (
+              SELECT media_id, lower(hex(payload)) AS hx,
+                     octet_length(payload) AS L
+              FROM read_parquet('{_media_parquet()}')
+              WHERE media_type = 'video'),
+            nl AS (
+              SELECT media_id, hx, L, min(pos) AS hdr_end
+              FROM vids, unnest(range(0, 64)) AS t(pos)
+              WHERE {_byte_sql("pos")} = 10
+              GROUP BY media_id, hx, L),
+            hdr AS (
+              SELECT media_id, hx, L, hdr_end,
+                     decode(unhex(substr(hx, 1, 2 * hdr_end))) AS head
+              FROM nl),
+            dims AS (
+              SELECT media_id, hx, L, hdr_end,
+                     regexp_extract(head, ' W([0-9]+)', 1)::BIGINT AS w,
+                     regexp_extract(head, ' H([0-9]+)', 1)::BIGINT AS h,
+                     regexp_extract(head, ' F([0-9]+):', 1)::BIGINT AS fps
+              FROM hdr),
+            geom AS (
+              SELECT media_id, hx, w, h, fps, hdr_end + 1 AS body,
+                     6 + 3 * w * h AS fsz,
+                     (L - hdr_end - 1) // (6 + 3 * w * h) AS n_frames
+              FROM dims),
+            ysum AS (
+              SELECT media_id, w, h, fps, f AS frame_idx,
+                     sum({_byte_sql("body + f*fsz + 6 + j")}) AS s
+              FROM geom,
+                   unnest(range(0, n_frames)) AS tf(f),
+                   unnest(range(0, w * h)) AS tj(j)
+              GROUP BY media_id, w, h, fps, f)
+            SELECT media_id, frame_idx, w AS width, h AS height, fps,
+                   s::DOUBLE / (w * h) AS mean_y
+            FROM ysum
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

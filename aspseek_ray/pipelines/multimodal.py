@@ -243,6 +243,84 @@ def media_pixel_stats(ds: rd.Dataset, concurrency: int = 2,
                           batch_size=batch_size, concurrency=concurrency)
 
 
+class AudioStatsStage:
+    """Actor-pool audio statistics in EXACT arithmetic over channel 0 of
+    the decoded PCM16 samples: peak/zero-crossings are integers, the mean
+    is one float64 division of an int64 sum — bit-reproducible, so a SQL
+    oracle that re-parses the WAV bytes can check it. Keeps only audio
+    rows; output (media_id, n_samples, rate, peak_abs, mean_sample,
+    zero_cross)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch["media_type"], "audio")
+        batch = batch.filter(keep)
+        ids, ns, rates, peaks, means, zcs = [], [], [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            samples, rate = wav_decode(p or b"")
+            s = samples[:, 0].astype(np.int64)
+            n = len(s)
+            ids.append(mid)
+            ns.append(n)
+            rates.append(rate)
+            peaks.append(int(np.abs(s).max()) if n else 0)
+            means.append(s.sum() / n if n else 0.0)
+            zcs.append(int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0))))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "n_samples": pa.array(ns, pa.int64()),
+                         "rate": pa.array(rates, pa.int64()),
+                         "peak_abs": pa.array(peaks, pa.int64()),
+                         "mean_sample": pa.array(means, pa.float64()),
+                         "zero_cross": pa.array(zcs, pa.int64())})
+
+
+def media_audio_stats(ds: rd.Dataset, concurrency: int = 2,
+                      batch_size: int = 128) -> rd.Dataset:
+    """Exact channel-0 PCM stats over a MEDIA_SCHEMA dataset — the
+    oracle-checkable slice of the audio decode path."""
+    return ds.map_batches(AudioStatsStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+class FrameLumaStage:
+    """Actor-pool per-frame luma means in EXACT arithmetic: one row per
+    decoded Y4M frame with mean_y = int64 sum of the Y plane / (h*w) —
+    bit-reproducible, SQL-oracle-checkable. Keeps only video rows;
+    output (media_id, frame_idx, width, height, fps, mean_y)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch["media_type"], "video")
+        batch = batch.filter(keep)
+        ids, idxs, ws, hs, fpss, mys = [], [], [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            frames, fps = y4m_decode(p or b"")
+            n, h, w = frames.shape[:3]
+            ysums = frames[..., 0].reshape(n, -1).sum(axis=1,
+                                                      dtype=np.int64)
+            for fi in range(n):
+                ids.append(mid)
+                idxs.append(fi)
+                ws.append(w)
+                hs.append(h)
+                fpss.append(fps)
+                mys.append(ysums[fi] / (h * w))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(idxs, pa.int64()),
+                         "width": pa.array(ws, pa.int64()),
+                         "height": pa.array(hs, pa.int64()),
+                         "fps": pa.array(fpss, pa.int64()),
+                         "mean_y": pa.array(mys, pa.float64())})
+
+
+def media_frame_luma(ds: rd.Dataset, concurrency: int = 2,
+                     batch_size: int = 64) -> rd.Dataset:
+    """Exact per-frame luma means over a MEDIA_SCHEMA dataset — the
+    oracle-checkable slice of the video decode path."""
+    return ds.map_batches(FrameLumaStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
 def synth_media_table(n: int = 256, seed: int = 9) -> pa.Table:
     """Deterministic media table with REAL payload bytes: BMP noise
     images, PCM16 WAV tones, Y4M C444 gradient clips — all openable by

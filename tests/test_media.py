@@ -151,3 +151,46 @@ def test_pixel_stats_exact(ray_session):
         assert row["mean_r"] == s[0] / (w * h)
         assert row["mean_g"] == s[1] / (w * h)
         assert row["mean_b"] == s[2] / (w * h)
+
+
+def test_audio_stats_exact(ray_session):
+    from aspseek_ray.pipelines.multimodal import (
+        media_audio_stats,
+        synth_media_dataset,
+        synth_media_table,
+    )
+
+    r = media_audio_stats(synth_media_dataset(30)).to_pandas()
+    wavs = {row["media_id"]: row for row in synth_media_table(30).to_pylist()
+            if row["media_type"] == "audio"}
+    assert set(r["media_id"]) == set(wavs)
+    for _, row in r.iterrows():
+        samples, rate = wav_decode(wavs[row["media_id"]]["payload"])
+        s = samples[:, 0].astype(np.int64)
+        assert row["rate"] == rate and row["n_samples"] == len(s)
+        assert row["peak_abs"] == int(np.abs(s).max())
+        assert row["mean_sample"] == s.sum() / len(s)
+        assert row["zero_cross"] == int(
+            np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
+
+
+def test_frame_luma_exact(ray_session):
+    from aspseek_ray.pipelines.multimodal import (
+        media_frame_luma,
+        synth_media_dataset,
+        synth_media_table,
+    )
+
+    r = media_frame_luma(synth_media_dataset(30)).to_pandas()
+    vids = {row["media_id"]: row for row in synth_media_table(30).to_pylist()
+            if row["media_type"] == "video"}
+    assert set(r["media_id"]) == set(vids)
+    for mid, grp in r.groupby("media_id"):
+        frames, fps = y4m_decode(vids[mid]["payload"])
+        n, h, w = frames.shape[:3]
+        assert len(grp) == n
+        assert (grp["fps"] == fps).all()
+        g = grp.sort_values("frame_idx").reset_index(drop=True)
+        for fi in range(n):
+            assert g.loc[fi, "mean_y"] == (
+                frames[fi, :, :, 0].astype(np.int64).sum() / (h * w))
