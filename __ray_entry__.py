@@ -272,6 +272,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             query=f"{v[0]} AND ({v[1]} OR {v[2]}) NOT {v[3]}", per_site=2)
         return t.select(["host", "url", "score"])
 
+    def orders_price_quantiles(sf_dir: str):
+        # oracle-backed: EXACT distributed order statistics (histogram
+        # refinement, no global sort) vs SQL rank-by-OFFSET
+        from aspseek_ray.pipelines.quantiles import exact_quantiles
+
+        return exact_quantiles(sf_dir)
+
+    def sample_documents(sf_dir: str):
+        # oracle-backed: deterministic hash-split sampling — membership
+        # is a pure function of doc_id, mirrored bitwise in SQL
+        from aspseek_ray.pipelines.sampling import deterministic_sample
+
+        return deterministic_sample(sf_dir)
+
     def _hll_distinct_users(sf_dir: str):
         # approximate by design (rows-only): HyperLogLog distinct-count;
         # accuracy vs COUNT(DISTINCT) is asserted in tests/test_sketches
@@ -395,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible: iterative / approximate /
         # stateful)
         "hll_distinct_users": _hll_distinct_users,
+        "orders_price_quantiles": orders_price_quantiles,
+        "sample_documents": sample_documents,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # oracle-backed: recursive-CTE min-label closure over the exact
         # jaccard pairs
@@ -905,6 +921,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        """,
+        # EXACT quantiles: rank = ceil(q*n) clamped, value by row_number —
+        # the same (double) rank arithmetic as pipelines/quantiles.py
+        "orders_price_quantiles": """
+            WITH n AS (SELECT count(*)::DOUBLE AS c FROM orders),
+            qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+            ranked AS (SELECT o_totalprice AS v,
+                              row_number() OVER (ORDER BY o_totalprice) AS r
+                       FROM orders)
+            SELECT q, v AS value
+            FROM qs CROSS JOIN n
+            JOIN ranked
+              ON ranked.r = greatest(1, least(c::BIGINT,
+                                              ceil(q * c)::BIGINT))
+        """,
+        # deterministic sample: splitmix64(doc_id) % 100 < 10, the exact
+        # mixer mirrored by _mix_ctes
+        "sample_documents": f"""
+            WITH keyed_ AS (SELECT doc_id,
+                                ((doc_id::HUGEINT + {_M64}) % {_M64}) AS x
+                            FROM documents),
+            {_mix_ctes("keyed_", carry="doc_id, ")}
+            SELECT doc_id FROM mixed_ WHERE (v % 100) < 10
         """,
         # ---- hash-mirror oracles (bitwise via _fnv_sql/_mix_ctes) --------
         # fingerprint64: per-token FNV-1a64 folded into a polynomial
