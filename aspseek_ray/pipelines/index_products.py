@@ -152,14 +152,23 @@ def update_postings_index(index_dir: str, store_path: str,
     ray.put for a vectorized np.isin filter; above ``broadcast_max_docs``
     a keyed ``join(left_anti)`` on doc_seq replaces the broadcast (one
     shuffle of the index, no driver set). A column-pruned pre-pass reads
-    only (word_bucket, doc_seq) to find buckets that actually change;
-    only those partitions are rewritten, then swapped in via dir renames
-    (crash between renames leaves at most one bucket in the pre-update
-    state — re-running the update is idempotent). With 64 buckets any
-    real round touches all of them; at 100-TB scale NUM_WORD_BUCKETS
-    rises (4096+) and a small recrawl round rewrites only its share.
+    only (word_bucket, doc_seq) to find buckets that actually LOSE rows;
+    only those are rewritten (read + filter + swap via dir renames),
+    while buckets that purely GAIN rows take their delta as appended
+    partition files — one atomic rename per file, O(delta) instead of
+    O(index) for the insert-dominated crawl case. Crash between renames
+    leaves at most one rewritten bucket stashed (restored by the
+    prologue) or a partial append (whose doc_seqs then land in the
+    remove-set on re-run, turning those buckets into rewrites) — the
+    update is idempotent either way.
 
-    Returns the list of rewritten bucket ids."""
+    File growth: appends add files per round; dirty-bucket rewrites
+    consolidate their bucket as a side effect, and a periodic
+    ``build_postings`` rebuild (or raising NUM_WORD_BUCKETS) is the
+    compaction story for long pure-insert runs.
+
+    Returns the sorted list of bucket ids whose contents changed
+    (rewritten + appended)."""
     import shutil
     from pathlib import Path
 
@@ -217,11 +226,38 @@ def update_postings_index(index_dir: str, store_path: str,
     if not touched:
         return []
 
-    # rewrite pass reads ONLY the touched partition dirs (the pre-pass
+    # Split the delta: a bucket that loses NO old rows (``dirty`` miss)
+    # takes its delta as APPENDED partition files — the partition dir is
+    # the unit of read, so extra files are semantically identical to a
+    # rewrite, and the per-round cost drops from O(touched index bytes)
+    # to O(delta) for the (dominant at crawl time) pure-insert buckets.
+    # Crash safety: appends run AFTER the rewrite swaps, one atomic file
+    # rename each; a re-run after a partial append sees the appended
+    # doc_seqs in the remove-set, marks those buckets dirty, and rewrites
+    # them — idempotent either way.
+    rewrite = sorted(dirty)
+    append_only = sorted(delta_buckets - dirty)
+    if append_only:
+        ap_arr = np.asarray(append_only, dtype=np.int32)
+
+        def keep_append(b: pa.Table) -> pa.Table:
+            sel = np.isin(b["word_bucket"].to_numpy(), ap_arr)
+            return b.filter(pa.array(sel))
+
+        def keep_rewrite(b: pa.Table) -> pa.Table:
+            sel = ~np.isin(b["word_bucket"].to_numpy(), ap_arr)
+            return b.filter(pa.array(sel))
+
+        delta_append = delta.map_batches(keep_append, batch_format="pyarrow")
+        delta = delta.map_batches(keep_rewrite, batch_format="pyarrow")
+    else:
+        delta_append = None
+
+    # rewrite pass reads ONLY the dirty partition dirs (the pre-pass
     # above is the one full — column-pruned — scan); re-stamp the
     # word_bucket column lost by reading partition dirs directly
     touched_files: list[str] = []
-    for k in touched:
+    for k in rewrite:
         d = Path(index_dir) / f"word_bucket={k}"
         if d.exists():
             touched_files.extend(sorted(str(f) for f in d.glob("*.parquet")))
@@ -281,19 +317,38 @@ def update_postings_index(index_dir: str, store_path: str,
 
     tmp = Path(index_dir) / ".update_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    updated.write_parquet(str(tmp), partition_cols=["word_bucket"])
-    for k in touched:
-        new_part = tmp / f"word_bucket={k}"
-        old_part = Path(index_dir) / f"word_bucket={k}"
-        if not new_part.exists():
-            new_part.mkdir()          # bucket emptied entirely this round
-        stash = Path(index_dir) / f".old_bucket={k}"
-        shutil.rmtree(stash, ignore_errors=True)
-        if old_part.exists():
-            old_part.rename(stash)
-        new_part.rename(old_part)
-        shutil.rmtree(stash, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    if rewrite:
+        updated.write_parquet(str(tmp), partition_cols=["word_bucket"])
+        for k in rewrite:
+            new_part = tmp / f"word_bucket={k}"
+            old_part = Path(index_dir) / f"word_bucket={k}"
+            if not new_part.exists():
+                new_part.mkdir()      # bucket emptied entirely this round
+            stash = Path(index_dir) / f".old_bucket={k}"
+            shutil.rmtree(stash, ignore_errors=True)
+            if old_part.exists():
+                old_part.rename(stash)
+            new_part.rename(old_part)
+            shutil.rmtree(stash, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # append pass: pure-insert buckets take the delta as extra partition
+    # files (unique names, one atomic rename per file; dirs created for
+    # brand-new buckets)
+    if delta_append is not None:
+        import uuid
+
+        ap_tmp = Path(index_dir) / ".update_tmp"
+        shutil.rmtree(ap_tmp, ignore_errors=True)
+        delta_append.write_parquet(str(ap_tmp),
+                                   partition_cols=["word_bucket"])
+        tag = uuid.uuid4().hex[:8]
+        for part in sorted(ap_tmp.glob("word_bucket=*")):
+            dest = Path(index_dir) / part.name
+            dest.mkdir(exist_ok=True)
+            for f in sorted(part.glob("*.parquet")):
+                f.rename(dest / f"delta-{tag}-{f.name}")
+        shutil.rmtree(ap_tmp, ignore_errors=True)
     return touched
 
 
