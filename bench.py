@@ -261,7 +261,10 @@ def run_bench() -> dict:
     for name in bench_queries:
         t0 = time.monotonic()
         r = q[name](SF_DIR)
-        _ = len(r) if hasattr(r, "__len__") else r.count()
+        try:
+            _ = len(r)          # Table / DataFrame
+        except (AttributeError, TypeError):
+            _ = r.count()       # lazy Dataset: force execution
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
