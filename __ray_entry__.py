@@ -293,6 +293,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return hll_distinct(sf_dir, "events", "user_id")
 
+    def _cms_heavy_users(sf_dir: str):
+        # oracle-backed bitwise: count-min sketch heavy hitters — the
+        # sketch is deterministic given the splitmix64 hash family, so
+        # the SQL oracle rebuilds the same grid and probes it
+        from aspseek_ray.pipelines.sketches import cms_heavy_hitters
+
+        return cms_heavy_hitters(sf_dir, "events", "user_id")
+
     def multimodal_features(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             extract_media_features,
@@ -409,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible: iterative / approximate /
         # stateful)
         "hll_distinct_users": _hll_distinct_users,
+        "cms_heavy_users": _cms_heavy_users,
         "orders_price_quantiles": orders_price_quantiles,
         "sample_documents": sample_documents,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -1076,6 +1085,37 @@ def oracle_sql() -> dict[str, str]:
                 ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0 / s
               END AS estimate FROM stats)
             SELECT estimate, 12::BIGINT AS p FROM est
+        """,
+        # Count-min sketch (Cormode-Muthukrishnan 2005) with depth=4,
+        # width=2048: every event row hashes into one cell per seed
+        # (h_j = splitmix64(key + seed_j + golden) % width), the grid
+        # cell counts are plain GROUP BY counts, and each distinct key's
+        # estimate is the min over its 4 cells. Deterministic given the
+        # hash family, hence oracle-exact despite being a sketch.
+        "cms_heavy_users": f"""
+            WITH ev AS (SELECT ((user_id::HUGEINT % {_M64}) + {_M64})
+                                   % {_M64} AS key
+                        FROM events),
+            seeds(j, seed) AS (VALUES
+                (0, 11562461410679940143::HUGEINT),
+                (1, 16646288086500911323::HUGEINT),
+                (2, 10285213230658275043::HUGEINT),
+                (3, 6384245875588680899::HUGEINT)),
+            seeded_ AS (SELECT key, j,
+                               ((key + seed
+                                 + 11400714819323198485::HUGEINT) % {_M64})
+                                 AS x
+                        FROM ev CROSS JOIN seeds),
+            {_mix_ctes("seeded_", carry="key, j, ")},
+            hp AS (SELECT key, j, (v % 2048)::BIGINT AS col FROM mixed_),
+            cells AS (SELECT j, col, count(*)::BIGINT AS cnt
+                      FROM hp GROUP BY j, col),
+            probe AS (SELECT DISTINCT key, j, col FROM hp),
+            est AS (SELECT key, min(cnt) AS est_count
+                    FROM probe JOIN cells USING (j, col) GROUP BY key)
+            SELECT CAST(key AS BIGINT) AS value, est_count
+            FROM est WHERE est_count >= 75
+            ORDER BY est_count DESC, value
         """,
         # BMP re-decoded from the payload BYTES in SQL (hex dump ->
         # header fields -> per-channel byte sums over the bottom-up

@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Max
 
-__all__ = ["hll_distinct", "hll_estimate"]
+__all__ = ["hll_distinct", "hll_estimate", "cms_heavy_hitters"]
 
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)
@@ -64,6 +64,105 @@ def hll_estimate(regs: np.ndarray) -> float:
     if e <= 2.5 * m and zeros:
         return m * np.log(m / zeros)     # linear counting, small range
     return float(e)
+
+
+# Per-row seeds for the count-min hash family (public wyhash secret
+# constants; any fixed odd values work — they only need to be distinct).
+_CMS_SEEDS = (0xA0761D6478BD642F, 0xE7037ED1A0B428DB,
+              0x8EBC6AF09C88C6E3, 0x589965CC75374CC3)
+
+
+def _cms_cols(vals: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indexes: h_j(x) = splitmix64(x + seed_j) % w."""
+    out = np.empty((depth, len(vals)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(depth):
+            h = _splitmix64(vals + np.uint64(_CMS_SEEDS[j]))
+            out[j] = (h % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_heavy_hitters(sf_dir: str, table: str = "events",
+                      column: str = "user_id", width: int = 2048,
+                      depth: int = 4, threshold: int = 75) -> pa.Table:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan,
+    "An improved data stream summary: the count-min sketch and its
+    applications", J. Algorithms 2005).
+
+    Pass 1 folds each batch into (cell, cnt) partials — at most
+    depth*width rows per batch regardless of batch size — and one
+    groupby(cell).sum merges them, so the shuffle is bounded by the
+    sketch size, never by the key cardinality (the point of a sketch at
+    100 TB: an exact groupby(key) would move every distinct key).
+    Pass 2 broadcasts the dense depth x width grid once (ray.put) and
+    probes keys inside map_batches: estimate = min_j grid[j, h_j(key)],
+    a pure function of the key, so cross-batch duplicates collapse with
+    a tiny groupby. CMS only OVERcounts (collisions add), so the
+    result is a superset of the true >= threshold set; with
+    width >> distinct keys it is exact. Deterministic given the
+    splitmix64 hash family, hence bitwise-oracle-able in SQL despite
+    being an approximate sketch.
+
+    Returns (value, est_count) sorted by est_count desc, value asc.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+
+    def _keys(batch: pa.Table) -> np.ndarray:
+        col = batch[column]
+        if pa.types.is_integer(col.type):
+            return col.to_numpy().astype(np.uint64)
+        from aspseek_ray.functions.hashing import fnv1a64_arrow
+
+        return fnv1a64_arrow(col).astype(np.uint64)
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        cols = _cms_cols(_keys(batch), width, depth)
+        cells, cnts = [], []
+        for j in range(depth):
+            bc = np.bincount(cols[j], minlength=width)
+            nz = np.flatnonzero(bc)
+            cells.append(nz + j * width)
+            cnts.append(bc[nz])
+        return pa.table({"cell": pa.array(np.concatenate(cells)),
+                         "cnt": pa.array(np.concatenate(cnts))})
+
+    merged = (ds.map_batches(grid_partial, batch_format="pyarrow")
+                .groupby("cell").aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
+    grid = np.zeros(depth * width, dtype=np.int64)
+    if len(merged):
+        grid[merged["cell"].to_numpy()] = merged["cnt"].to_numpy()
+
+    import ray
+
+    grid_ref = ray.put(grid.reshape(depth, width))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        uniq = pa.compute.unique(batch[column])
+        keys = (uniq.to_numpy(zero_copy_only=False).astype(np.uint64)
+                if pa.types.is_integer(uniq.type) else None)
+        if keys is None:
+            from aspseek_ray.functions.hashing import fnv1a64_arrow
+
+            keys = fnv1a64_arrow(uniq).astype(np.uint64)
+        cols = _cms_cols(keys, width, depth)
+        est = g[np.arange(depth)[:, None], cols].min(axis=0)
+        keep = est >= threshold
+        return pa.table({"value": uniq.filter(pa.array(keep)),
+                         "est_count": pa.array(est[keep])})
+
+    from ray.data.aggregate import Max
+
+    out = (ds.map_batches(probe, batch_format="pyarrow")
+             .groupby("value").aggregate(Max("est_count",
+                                             alias_name="est_count"))
+             .to_pandas())
+    out = out.sort_values(["est_count", "value"],
+                          ascending=[False, True], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def hll_distinct(sf_dir: str, table: str = "events",

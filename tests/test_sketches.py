@@ -51,3 +51,61 @@ def test_hll_estimator_edges():
     regs = np.zeros(4096, np.int64)
     regs[i] = r
     assert abs(hll_estimate(regs) - 10) < 1.0
+
+
+def test_cms_heavy_hitters_vs_exact(ray_session):
+    """With width >> distinct keys the CMS estimate is collision-free,
+    so heavy hitters match the exact GROUP BY truth bitwise."""
+    import duckdb
+
+    from aspseek_ray.pipelines.sketches import cms_heavy_hitters
+
+    sf = "/root/testdata/sf0.01"
+    got = cms_heavy_hitters(sf, "events", "user_id").to_pandas()
+    truth = duckdb.sql(
+        f"""SELECT user_id AS value, count(*) AS est_count
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY user_id HAVING est_count >= 75
+            ORDER BY est_count DESC, value""").fetchdf()
+    assert got.reset_index(drop=True).equals(truth.reset_index(drop=True))
+
+
+def test_cms_only_overcounts_under_collisions(ray_session):
+    """At a deliberately tiny width every cell collides; the estimate
+    must still upper-bound the true count for every key (the CMS
+    guarantee), and the >= threshold output must be a superset of the
+    true heavy-hitter set."""
+    import duckdb
+
+    from aspseek_ray.pipelines.sketches import cms_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    got = cms_heavy_hitters(sf, "events", "user_id",
+                            width=16, depth=2, threshold=30).to_pandas()
+    truth = duckdb.sql(
+        f"""SELECT user_id AS value, count(*) AS cnt
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY user_id""").fetchdf().set_index("value")["cnt"]
+    for value, est in zip(got["value"], got["est_count"]):
+        assert est >= truth[value], (value, est, truth[value])
+    heavy_true = set(truth[truth >= 30].index)
+    assert heavy_true <= set(got["value"])
+
+
+def test_cms_grid_is_batching_invariant():
+    """Cell counts merge by plain addition, so the grid is identical
+    however the rows are batched — the property the distributed
+    groupby(cell).sum merge relies on."""
+    from aspseek_ray.pipelines.sketches import _cms_cols
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1 << 30, size=5_000).astype(np.uint64)
+    width, depth = 64, 4
+    one = np.zeros((depth, width), np.int64)
+    for j, cols in enumerate(_cms_cols(vals, width, depth)):
+        np.add.at(one[j], cols, 1)
+    many = np.zeros((depth, width), np.int64)
+    for chunk in np.array_split(vals, 9):
+        for j, cols in enumerate(_cms_cols(chunk, width, depth)):
+            np.add.at(many[j], cols, 1)
+    assert np.array_equal(one, many)
