@@ -286,6 +286,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return deterministic_sample(sf_dir)
 
+    def stratified_sample_docs(sf_dir: str):
+        # oracle-backed: per-stratum deterministic sampling (downsample
+        # 'en' to 20%, keep other languages whole); membership is a pure
+        # function of (doc_id, lang), mirrored bitwise in SQL
+        from aspseek_ray.pipelines.sampling import stratified_sample
+
+        return stratified_sample(sf_dir)
+
     def _hll_distinct_users(sf_dir: str):
         # approximate by design (rows-only): HyperLogLog distinct-count;
         # accuracy vs COUNT(DISTINCT) is asserted in tests/test_sketches
@@ -420,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_users": _cms_heavy_users,
         "orders_price_quantiles": orders_price_quantiles,
         "sample_documents": sample_documents,
+        "stratified_sample_docs": stratified_sample_docs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # oracle-backed: recursive-CTE min-label closure over the exact
         # jaccard pairs
@@ -953,6 +962,17 @@ def oracle_sql() -> dict[str, str]:
                             FROM documents),
             {_mix_ctes("keyed_", carry="doc_id, ")}
             SELECT doc_id FROM mixed_ WHERE (v % 100) < 10
+        """,
+        # stratified variant: the per-row cut depends on the stratum
+        # column (en downsampled to 20%, other languages kept whole);
+        # same mixer, same key axis, so strata subsets nest
+        "stratified_sample_docs": f"""
+            WITH keyed_ AS (SELECT doc_id, lang,
+                                ((doc_id::HUGEINT + {_M64}) % {_M64}) AS x
+                            FROM documents),
+            {_mix_ctes("keyed_", carry="doc_id, lang, ")}
+            SELECT doc_id, lang FROM mixed_
+            WHERE (v % 100) < (CASE WHEN lang = 'en' THEN 20 ELSE 100 END)
         """,
         # ---- hash-mirror oracles (bitwise via _fnv_sql/_mix_ctes) --------
         # fingerprint64: per-token FNV-1a64 folded into a polynomial

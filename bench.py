@@ -256,7 +256,8 @@ def run_bench() -> dict:
                      "quality_scores", "embedding_near_dup",
                      "boolean_and_search", "tfidf_search",
                      "events_asof_join", "orders_price_band_join",
-                     "hll_distinct_users", "orders_price_quantiles",
+                     "hll_distinct_users", "cms_heavy_users",
+                     "orders_price_quantiles",
                      "sample_documents"]
     for name in bench_queries:
         t0 = time.monotonic()

@@ -73,3 +73,25 @@ def test_deterministic_sample_is_pure(ray_session):
     want = sorted(ids[(_mix(ids.astype(np.uint64)) % np.uint64(100))
                       < np.uint64(10)].tolist())
     assert a == want
+
+
+def test_stratified_sample_rebalances_and_nests(ray_session):
+    """Strata get their own rates; unlisted strata keep default_rate;
+    per-stratum samples NEST across rates (a 5% cut is a subset of a
+    20% cut) because every rate slices the same mixed-key axis."""
+    from aspseek_ray.pipelines.sampling import stratified_sample
+
+    full = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    out = stratified_sample(SF).to_pandas()
+    # non-en strata survive whole at default_rate=100
+    for lang, grp in full.groupby("lang"):
+        kept = set(out[out["lang"] == lang]["doc_id"])
+        if lang == "en":
+            assert 0 < len(kept) < len(grp)
+        else:
+            assert kept == set(grp["doc_id"])
+    # nesting: en@5 subset of en@20 subset of en@60
+    cuts = [set(stratified_sample(SF, rates={"en": r}, default_rate=0)
+                .to_pandas()["doc_id"]) for r in (5, 20, 60)]
+    assert cuts[0] <= cuts[1] <= cuts[2]
