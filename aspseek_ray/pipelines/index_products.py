@@ -215,10 +215,13 @@ def update_postings_index(index_dir: str, store_path: str,
         dirty = {int(r["word_bucket"]) for r in hits.iter_rows()}
     else:
         rem_ds = rd.from_arrow(pa.table({"doc_seq": pa.array(remove)}))
+        # materialize: count() and unique() below would otherwise each
+        # re-execute the full column-pruned scan + semi-join from scratch
         hits = (old.select_columns(["word_bucket", "doc_seq"])
                    .join(rem_ds, join_type="left_semi",
                          num_partitions=max(8, NUM_WORD_BUCKETS // 8),
-                         on=("doc_seq",)))
+                         on=("doc_seq",))
+                   .materialize())
         dirty = ({int(x) for x in hits.unique("word_bucket")}
                  if hits.count() else set())
     delta_buckets = {int(b) for b in delta.unique("word_bucket")}
@@ -306,7 +309,6 @@ def update_postings_index(index_dir: str, store_path: str,
             return b.set_column(
                 i, "positions", pa.array(lists, pa.list_(pa.int32())))
 
-        rem_ds = rd.from_arrow(pa.table({"doc_seq": pa.array(remove)}))
         kept_old = (old_touched
                     .map_batches(enc, batch_format="pyarrow")
                     .join(rem_ds, join_type="left_anti",

@@ -20,13 +20,20 @@ triples — so float boundary rounding can never mis-place a row between the
 histogram pass and the pull pass.
 
 Scale: log_bins(n / max_pull) + 2 streaming scans, no shuffle at all (the
-histogram partials are a driver-side sum of <= bins x qs rows per batch);
-skewed/constant columns degrade gracefully (a bin that stops narrowing is
-pulled directly once its chain stops making progress).
+histogram partials are a driver-side sum of <= bins x qs rows per batch).
+Heavy-tailed columns keep refining while the value interval narrows even
+if the bin's ROW COUNT does not shrink (an outlier can park the mass in
+one bin for several levels; the interval still contracts bins-fold per
+level, so separation follows); refinement stops only when the interval
+is float64-degenerate (width underflow), and the final pull ships
+(value, count) pairs pre-aggregated per batch, so duplicate-heavy or
+constant columns cost the driver distinct-values, not rows.
 
-Quantile definition: rank ceil(q * n) (1-based), the inverse-CDF /
-``quantile_disc`` convention; ties and duplicates need no special casing
-because selection is purely rank-based.
+Quantile definition: rank ceil(q * n) (1-based) over the FINITE values
+(nulls / NaN / infinities are ignored, the standard aggregate
+convention), the inverse-CDF / ``quantile_disc`` convention; ties and
+duplicates need no special casing because selection is purely
+rank-based.
 """
 
 from __future__ import annotations
@@ -57,15 +64,27 @@ def exact_quantiles(sf_dir: str, table: str = "orders",
                     qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
                     bins: int = 2048, max_pull: int = 65536) -> pa.Table:
     """EXACT order statistics of ``column`` at quantiles ``qs``.
-    Output (q, value), one row per quantile, rank = ceil(q * n)."""
-    from ray.data.aggregate import Count, Max, Min
-
+    Output (q, value), one row per quantile, rank = ceil(q * n) over
+    the finite values (nulls/NaN/inf ignored)."""
     path = f"{sf_dir}/{table}.parquet"
     ds = rd.read_parquet(path, columns=[column])
-    agg = ds.aggregate(Min(column), Max(column), Count())
-    n = int(agg["count()"])
-    gmin = float(agg[f"min({column})"])
-    gmax = float(agg[f"max({column})"])
+
+    # pass 0 over the SAME domain every later pass filters to (finite
+    # values): Count() would include nulls and Min/Max can propagate
+    # NaN, shifting ranks against the selection
+    def stats_batch(batch: pa.Table) -> pa.Table:
+        v = batch.column(0).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v)]
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "mn": pa.array([float(v.min()) if len(v) else math.inf]),
+            "mx": pa.array([float(v.max()) if len(v) else -math.inf])})
+
+    stats = (ds.map_batches(stats_batch, batch_format="pyarrow")
+               .to_pandas())
+    n = int(stats["n"].sum())
+    gmin = float(stats["mn"].min())
+    gmax = float(stats["mx"].max())
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
@@ -79,7 +98,9 @@ def exact_quantiles(sf_dir: str, table: str = "orders",
 
     while True:
         active = [i for i in range(len(qs))
-                  if counts[i] > max_pull and his[i] > los[i]]
+                  if counts[i] > max_pull and his[i] > los[i]
+                  and (his[i] - los[i]) / bins > 0.0]   # width underflow
+                  # -> interval is a handful of ulps: pull directly
         if not active:
             break
         # one scan: a histogram per active quantile, partials per batch
@@ -116,14 +137,22 @@ def exact_quantiles(sf_dir: str, table: str = "orders",
             b = int(np.searchsorted(cum, ranks[qi], side="left"))
             before = int(cum[b - 1]) if b > 0 else 0
             new_count = int(hist[b])
-            if new_count == counts[qi]:      # no narrowing (constant bin)
+            new_lo = lo + b * width
+            new_hi = lo + (b + 1) * width
+            # Stop only when the interval is float64-degenerate (width
+            # underflow) or failed to contract — remaining rows are
+            # numerically (near-)equal; the (value, count) pull bounds
+            # the driver by distinct values. A bin whose COUNT did not
+            # shrink (heavy tail parking the mass in one bin) keeps
+            # refining: the interval still contracts bins-fold a level.
+            if new_hi <= new_lo or (new_lo <= los[qi] and new_hi >= his[qi]):
                 his[qi] = los[qi]            # stop refining; pull directly
                 continue
             ranks[qi] -= before
             chains[qi].append((lo, width, b, bins))
             counts[qi] = new_count
-            los[qi] = lo + b * width
-            his[qi] = lo + (b + 1) * width
+            los[qi] = new_lo
+            his[qi] = new_hi
             progressed = True
         if not progressed:
             break
@@ -133,20 +162,25 @@ def exact_quantiles(sf_dir: str, table: str = "orders",
 
     def pull_batch(batch: pa.Table, chains=final_chains) -> pa.Table:
         v = batch.column(0).to_numpy(zero_copy_only=False).astype(np.float64)
-        out_q, out_v = [], []
+        out_q, out_v, out_c = [], [], []
         for qi, chain in enumerate(chains):
-            sel = v[_chain_mask(v, chain)]
-            out_q.extend([qi] * len(sel))
-            out_v.extend(sel.tolist())
+            u, c = np.unique(v[_chain_mask(v, chain)], return_counts=True)
+            out_q.extend([qi] * len(u))
+            out_v.extend(u.tolist())
+            out_c.extend(c.tolist())
         return pa.table({"qi": pa.array(out_q, pa.int64()),
-                         "v": pa.array(out_v, pa.float64())})
+                         "v": pa.array(out_v, pa.float64()),
+                         "c": pa.array(out_c, pa.int64())})
 
     pulled = (rd.read_parquet(path, columns=[column])
               .map_batches(pull_batch, batch_format="pyarrow")
               .to_pandas())
     values = []
     for qi in range(len(qs)):
-        vals = np.sort(pulled[pulled["qi"] == qi]["v"].to_numpy())
-        values.append(float(vals[ranks[qi] - 1]))
+        sub = (pulled[pulled["qi"] == qi].groupby("v")["c"].sum()
+               .sort_index())
+        cum = sub.to_numpy().cumsum()
+        pos = int(np.searchsorted(cum, ranks[qi], side="left"))
+        values.append(float(sub.index[pos]))
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(values, pa.float64())})

@@ -396,10 +396,16 @@ def events_sessions(sf_dir: str, gap_s: int = 1800,
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             n_events=("event_id", "size"),
-            total_value=("value", "sum"),
         )
         out["n_events"] = out["n_events"].astype(np.int64)
-        out["total_value"] = np.round(out["total_value"].to_numpy(), 2)
+        # total_value via reduceat: strictly SEQUENTIAL per-segment
+        # summation in ts order — the association both plans pin so the
+        # pre-split plan can reproduce it bitwise (pandas/np.sum use
+        # pairwise trees that depend on segment length)
+        sid = new_session.to_numpy()
+        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        out["total_value"] = np.round(
+            np.add.reduceat(g["value"].to_numpy(), starts), 2)
         return out.reset_index(drop=True)
 
     out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
@@ -420,15 +426,20 @@ def _events_sessions_presplit(ds, gap_s: int, window_s: int) -> pa.Table:
     def window_sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         gap = g["ts"].diff().dt.total_seconds()
-        sid = (gap.isna() | (gap > gap_s)).cumsum()
-        out = g.groupby(sid).agg(
+        sid_s = (gap.isna() | (gap > gap_s)).cumsum()
+        out = g.groupby(sid_s).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "size"),
-            total_value=("value", "sum"),   # raw; rounded at final emit
         ).reset_index(drop=True)
         out["n_events"] = out["n_events"].astype(np.int64)
+        # sequential per-segment sums (see sessionize): raw here,
+        # rounded at final emit
+        vals_np = g["value"].to_numpy()
+        sid = sid_s.to_numpy()
+        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        out["total_value"] = np.add.reduceat(vals_np, starts)
         win = int(g["win"].iloc[0])
         w0 = pd.Timestamp(win * window_s, unit="s")
         w1 = pd.Timestamp((win + 1) * window_s, unit="s")
@@ -443,6 +454,19 @@ def _events_sessions_presplit(ds, gap_s: int, window_s: int) -> pa.Table:
         if last_open:
             cand[n - 1] = True
         out["boundary"] = cand
+        # boundary sessions carry their raw ts-ordered values so the
+        # stitch can recompute a MERGED session's total with the exact
+        # same sequential association the one-task plan uses (partial
+        # sums re-summed would associate differently -> 1-ulp drift
+        # that _round2 could amplify at a .xx5 boundary). Bounded by
+        # session length; interior sessions carry nothing.
+        ends = np.r_[starts[1:], len(vals_np)]
+        vals_col: list = [None] * n
+        if first_open:
+            vals_col[0] = vals_np[: ends[0]].tolist()
+        if last_open:
+            vals_col[n - 1] = vals_np[starts[n - 1]:].tolist()
+        out["vals"] = vals_col
         return out
 
     def stitch(g: pd.DataFrame) -> pd.DataFrame:
@@ -456,9 +480,21 @@ def _events_sessions_presplit(ds, gap_s: int, window_s: int) -> pa.Table:
             user_id=("user_id", "first"),
             session_start=("session_start", "min"),
             n_events=("n_events", "sum"),
-            total_value=("total_value", "sum"),
         ).reset_index(drop=True)
         out["n_events"] = out["n_events"].astype(np.int64)
+        # recompute each chain's total from the member value arrays in
+        # ts order with the SAME sequential association as the one-task
+        # plan (reduceat over the concatenation == reduceat over the
+        # full session segment)
+        vals_list = g["vals"].tolist()
+        seg_start = np.flatnonzero(new)
+        totals = []
+        for i, s in enumerate(seg_start):
+            e = seg_start[i + 1] if i + 1 < len(seg_start) else len(g)
+            chain = np.concatenate(
+                [np.asarray(v, np.float64) for v in vals_list[s:e]])
+            totals.append(np.add.reduceat(chain, [0])[0])
+        out["total_value"] = np.asarray(totals, np.float64)
         return out
 
     summaries = (ds.map_batches(stamp, batch_format="pyarrow")
@@ -555,11 +591,12 @@ def events_asof_join(sf_dir: str, left_type: str = "view",
             ["ts", "event_id"], kind="mergesort")
         right = g[g["event_type"] == right_type]
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"purchase_id": pd.Series([], np.int64),
-                                 "user_id": pd.Series([], np.int64),
-                                 "purchase_ts": pd.Series([], "datetime64[us]"),
-                                 "view_id": pd.Series([], np.int64),
-                                 "view_ts": pd.Series([], "datetime64[us]")})
+            return pd.DataFrame(
+                {"purchase_id": pd.Series([], dtype=np.int64),
+                 "user_id": pd.Series([], dtype=np.int64),
+                 "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                 "view_id": pd.Series([], dtype=np.int64),
+                 "view_ts": pd.Series([], dtype="datetime64[us]")})
         lts = left["ts"].to_numpy()
         idx = np.searchsorted(lts, right["ts"].to_numpy(), side="right") - 1
         ok = idx >= 0

@@ -21,17 +21,18 @@ from ray.data.aggregate import Max
 
 __all__ = ["hll_distinct", "hll_estimate", "cms_heavy_hitters"]
 
-_M1 = np.uint64(0xBF58476D1CE4E5B9)
-_M2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over uint64 values."""
+    """Vectorized splitmix64 over uint64 values: the golden-ratio
+    increment followed by the engine's pinned finalizer (the single
+    source of the mixing constants, shared with sampling and the
+    cuckoo filter — and mirrored in SQL by __ray_entry__._mix_ctes)."""
+    from aspseek_ray.state.cuckoo import _mix
+
     with np.errstate(over="ignore"):
-        z = x + np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * _M1
-        z = (z ^ (z >> np.uint64(27))) * _M2
-        return z ^ (z >> np.uint64(31))
+        return _mix(x + _GOLDEN)
 
 
 def _registers(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -74,6 +75,11 @@ _CMS_SEEDS = (0xA0761D6478BD642F, 0xE7037ED1A0B428DB,
 
 def _cms_cols(vals: np.ndarray, width: int, depth: int) -> np.ndarray:
     """(depth, n) column indexes: h_j(x) = splitmix64(x + seed_j) % w."""
+    if depth > len(_CMS_SEEDS):
+        raise ValueError(
+            f"depth {depth} exceeds the {len(_CMS_SEEDS)} pinned seeds "
+            "(each seed is inlined in the SQL oracle; extend _CMS_SEEDS "
+            "and the oracle together)")
     out = np.empty((depth, len(vals)), dtype=np.int64)
     with np.errstate(over="ignore"):
         for j in range(depth):

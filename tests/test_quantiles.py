@@ -95,3 +95,43 @@ def test_stratified_sample_rebalances_and_nests(ray_session):
     cuts = [set(stratified_sample(SF, rates={"en": r}, default_rate=0)
                 .to_pandas()["doc_id"]) for r in (5, 20, 60)]
     assert cuts[0] <= cuts[1] <= cuts[2]
+
+
+def test_quantiles_ignore_nulls(ray_session, tmp_path):
+    """Nulls/NaN are excluded from ranks AND selection consistently:
+    ranks computed over a null-inclusive count would shift every high
+    quantile (or crash on rank > finite rows)."""
+    from aspseek_ray.pipelines.quantiles import exact_quantiles
+
+    p = tmp_path / "nulls"
+    p.mkdir()
+    vals = list(np.arange(1.0, 101.0)) + [None] * 40 + [float("nan")] * 10
+    pq.write_table(pa.table({"x": pa.array(vals, pa.float64())}),
+                   p / "t.parquet")
+    qs = (0.5, 0.99, 1.0)
+    t = exact_quantiles(str(p), table="t", column="x", qs=qs,
+                        bins=8, max_pull=10)
+    finite = np.arange(1.0, 101.0)
+    want = [float(finite[min(100, max(1, math.ceil(q * 100))) - 1])
+            for q in qs]
+    assert t["value"].to_pylist() == want
+
+
+def test_quantiles_heavy_tail_keeps_refining(ray_session, tmp_path):
+    """One enormous outlier parks ALL remaining mass in bin 0 for
+    several levels (count does not shrink while the interval still
+    contracts). Refinement must keep going and converge rank-exactly —
+    not degrade to pulling ~n rows."""
+    from aspseek_ray.pipelines.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([rng.uniform(0.0, 1.0, 20_000),
+                           np.array([1e12])])
+    p = tmp_path / "tail"
+    p.mkdir()
+    pq.write_table(pa.table({"x": pa.array(vals, pa.float64())}),
+                   p / "t.parquet")
+    qs = (0.5,)
+    t = exact_quantiles(str(p), table="t", column="x", qs=qs,
+                        bins=16, max_pull=64)
+    assert t["value"].to_pylist() == _truth(str(p / "t.parquet"), "x", qs)

@@ -84,6 +84,10 @@ def test_events_asof_join_hand_case(ray_session, tmp_path):
         (8, 2, "purchase", t0 + pd.Timedelta(minutes=2)),   # joins id 7
         # noise types ignored
         (9, 1, "click", t0 + pd.Timedelta(minutes=9)),
+        # user 3: views but NO purchase; user 4: purchases but NO view —
+        # one-sided groups must yield empty frames, not crash
+        (10, 3, "view", t0), (11, 3, "view", t0 + pd.Timedelta(minutes=1)),
+        (12, 4, "purchase", t0),
     ]
     t = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
