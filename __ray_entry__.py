@@ -301,6 +301,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return hll_distinct(sf_dir, "events", "user_id")
 
+    def repetition_scores(sf_dir: str):
+        # oracle-backed: Gopher-style repetition quality metrics over
+        # the pinned SQL-reproducible tokenizer
+        from aspseek_ray.pipelines.textstats import repetition_scores as rep
+
+        return rep(sf_dir)
+
+    def contamination_flags(sf_dir: str):
+        # oracle-backed: benchmark-contamination broadcast semi-join;
+        # shingle hashes are FNV-1a64 mirrored bitwise in SQL
+        from aspseek_ray.pipelines.textstats import (
+            contamination_flags as cont,
+        )
+
+        return cont(sf_dir)
+
     def _cms_heavy_users(sf_dir: str):
         # oracle-backed bitwise: count-min sketch heavy hitters — the
         # sketch is deterministic given the splitmix64 hash family, so
@@ -426,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stateful)
         "hll_distinct_users": _hll_distinct_users,
         "cms_heavy_users": _cms_heavy_users,
+        "repetition_scores": repetition_scores,
+        "contamination_flags": contamination_flags,
         "orders_price_quantiles": orders_price_quantiles,
         "sample_documents": sample_documents,
         "stratified_sample_docs": stratified_sample_docs,
@@ -899,6 +917,62 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents)
             SELECT word, COUNT(*) AS df FROM tok GROUP BY word
             HAVING COUNT(*) >= 2
+        """,
+        # Gopher-style repetition metrics over the pinned tokenizer;
+        # DuckDB ROUND is half-away-from-zero, matching _round4
+        "repetition_scores": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+            wc AS (SELECT doc_id, w, count(*) AS c
+                   FROM (SELECT doc_id, unnest(toks) AS w FROM sized)
+                   GROUP BY doc_id, w),
+            agg AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS topc
+                    FROM wc GROUP BY doc_id),
+            big AS (SELECT doc_id,
+                      len(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS nb,
+                      len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS ndb
+                    FROM sized)
+            SELECT s.doc_id, s.n AS n_tokens,
+                   COALESCE(a.n_distinct, 0) AS n_distinct,
+                   CASE WHEN s.n = 0 THEN 0.0
+                        ELSE round(a.topc / s.n::DOUBLE, 4)
+                   END AS top_word_frac,
+                   CASE WHEN b.nb = 0 THEN 0.0
+                        ELSE round((b.nb - b.ndb) / b.nb::DOUBLE, 4)
+                   END AS dup_bigram_frac
+            FROM sized s
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN big b USING (doc_id)
+        """,
+        # contamination: distinct 3-token shingles hashed with the
+        # mirrored FNV-1a64; benchmark = doc_id % 97 == 0, flags over
+        # the remaining corpus
+        "contamination_flags": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' '
+                              || toks[i+2])) AS grams
+                  FROM base),
+            e AS (SELECT doc_id, {_fnv_sql("gm")} AS h
+                  FROM (SELECT doc_id, unnest(grams) AS gm FROM g)),
+            needles AS (SELECT DISTINCT h FROM e WHERE doc_id % 97 = 0),
+            corpus AS (SELECT doc_id, h FROM e WHERE doc_id % 97 <> 0),
+            hits AS (SELECT c.doc_id, count(*) AS n_hits
+                     FROM corpus c JOIN needles n ON c.h = n.h
+                     GROUP BY c.doc_id),
+            counts AS (SELECT doc_id, count(*) AS n_grams
+                       FROM corpus GROUP BY doc_id)
+            SELECT b.doc_id,
+                   COALESCE(cnt.n_grams, 0) AS n_grams,
+                   COALESCE(ht.n_hits, 0) AS n_hits,
+                   COALESCE(ht.n_hits, 0) > 0 AS contaminated
+            FROM base b
+            LEFT JOIN counts cnt USING (doc_id)
+            LEFT JOIN hits ht USING (doc_id)
+            WHERE b.doc_id % 97 <> 0
         """,
         "exact_dedup": """
             SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs

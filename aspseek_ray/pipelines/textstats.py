@@ -151,3 +151,129 @@ def stopword_ratio_filter(sf_dir: str, max_stop_ratio: float = 0.5,
     keep = pc.and_(pc.less_equal(t["stop_ratio"], max_stop_ratio),
                    pc.greater_equal(t["n_tokens"], min_tokens))
     return t.filter(keep).select(["doc_id"])
+
+
+def repetition_scores(sf_dir: str) -> pa.Table:
+    """Repetition-based quality metrics (the Gopher-rules family — Rae
+    et al., "Scaling Language Models: ... Gopher", 2021 — adapted to
+    the pinned tokenizer): per document over the SQL-reproducible
+    token stream,
+      n_tokens / n_distinct   exact integers,
+      top_word_frac           most-frequent-word count / n_tokens,
+      dup_bigram_frac         (bigrams - distinct bigrams) / bigrams.
+    Boilerplate and spam pages score high on all three; a 100-TB
+    pipeline gates on these before any expensive near-dup pass.
+    Ratios rounded to 4 decimals (SQL ROUND semantics)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        n_tok, n_dis, topf, dupb = [], [], [], []
+        for t in batch["text"].to_pylist():
+            toks = tokenize(t)
+            n = len(toks)
+            n_tok.append(n)
+            if n == 0:
+                n_dis.append(0); topf.append(0.0); dupb.append(0.0)
+                continue
+            _, cnts = np.unique(toks, return_counts=True)
+            n_dis.append(len(cnts))
+            topf.append(int(cnts.max()) / n)
+            if n < 2:
+                dupb.append(0.0)
+                continue
+            grams = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
+            dupb.append((len(grams) - len(set(grams))) / len(grams))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(np.asarray(n_tok, np.int64)),
+            "n_distinct": pa.array(np.asarray(n_dis, np.int64)),
+            "top_word_frac": pa.array(_round4(topf)),
+            "dup_bigram_frac": pa.array(_round4(dupb)),
+        })
+
+    out = ds.map_batches(rep, batch_format="pyarrow")
+    # drop Ray's schema-less empty blocks (tiny inputs) before concat
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return rep(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}))
+    return pa.concat_tables(parts)
+
+
+def contamination_flags(sf_dir: str, shingle: int = 3,
+                        benchmark_mod: int = 97) -> pa.Table:
+    """Benchmark-contamination check — the eval-leakage gate a
+    training-data pipeline runs before a model ever sees the corpus:
+    flag documents sharing any ``shingle``-token n-gram with a
+    benchmark set. The benchmark here is the deterministic subset
+    doc_id % benchmark_mod == 0 (a stand-in for a real eval suite;
+    the mechanism is what matters).
+
+    Scale shape: the canonical BROADCAST semi-join. The benchmark
+    shingle set is built by one filtered column-pruned pass (benchmarks
+    are small by definition), shipped once via ray.put as a sorted
+    uint64 hash array, and every corpus batch probes it with np.isin —
+    no shuffle, no driver-side corpus work. Hashes are FNV-1a64 of the
+    space-joined gram (mirrored bitwise by the SQL oracle), so the
+    comparison is exact on both sides.
+
+    Output (doc_id, n_grams, n_hits, contaminated): distinct grams per
+    doc, grams also present in the benchmark, and the >= 1-hit flag.
+    Benchmark members themselves are excluded from the output."""
+    from aspseek_ray.functions.hashing import fnv1a64_arrow
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def gram_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Distinct shingle hashes per text + per-text gram counts."""
+        grams: list[str] = []
+        counts = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = tokenize(t)
+            g = sorted({" ".join(toks[j:j + shingle])
+                        for j in range(len(toks) - shingle + 1)})
+            counts[i] = len(g)
+            grams.extend(g)
+        if not grams:
+            return np.empty(0, np.uint64), counts
+        h = fnv1a64_arrow(pa.array(grams, pa.string())).astype(np.uint64)
+        return h, counts
+
+    def needle_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = ids % benchmark_mod == 0
+        h, _ = gram_hashes(
+            batch.filter(pa.array(sel))["text"].to_pylist())
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    needles = (rd.read_parquet(path, columns=["doc_id", "text"])
+                 .map_batches(needle_batch, batch_format="pyarrow")
+                 .to_pandas())
+    needle_ref = ray.put(np.unique(needles["h"].to_numpy().astype(np.uint64)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = ids % benchmark_mod != 0
+        b = batch.filter(pa.array(keep))
+        h, counts = gram_hashes(b["text"].to_pylist())
+        hit = np.isin(h, ray.get(needle_ref))
+        # per-doc hit sums via the gram-count offsets
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        n_hits = np.array([int(hit[s:e].sum())
+                           for s, e in zip(starts, ends)], np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_grams": pa.array(counts),
+            "n_hits": pa.array(n_hits),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+    out = (rd.read_parquet(path, columns=["doc_id", "text"])
+             .map_batches(probe, batch_format="pyarrow"))
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return probe(pa.table({"doc_id": pa.array([], pa.int64()),
+                               "text": pa.array([], pa.string())}))
+    return pa.concat_tables(parts)
