@@ -317,6 +317,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cont(sf_dir)
 
+    def normalize_text(sf_dir: str):
+        # oracle-backed: URL/email redaction (Arrow RE2 kernels) +
+        # consecutive-duplicate-token collapse, mirrored exactly in SQL
+        from aspseek_ray.pipelines.textstats import normalize_text as nz
+
+        return nz(sf_dir)
+
     def _cms_heavy_users(sf_dir: str):
         # oracle-backed bitwise: count-min sketch heavy hitters — the
         # sketch is deterministic given the splitmix64 hash family, so
@@ -444,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_users": _cms_heavy_users,
         "repetition_scores": repetition_scores,
         "contamination_flags": contamination_flags,
+        "normalize_text": normalize_text,
         "orders_price_quantiles": orders_price_quantiles,
         "sample_documents": sample_documents,
         "stratified_sample_docs": stratified_sample_docs,
@@ -656,6 +664,8 @@ def oracle_sql() -> dict[str, str]:
     sim_trace = _sim_trace_parquet()
     corpus = corpus_for(f"sf{_ORACLE_SF}")
     pages = f"{corpus}/pages.parquet"
+    from aspseek_ray.pipelines.textstats import EMAIL_RE as _EMAIL_RE
+    from aspseek_ray.pipelines.textstats import URL_RE as _URL_RE
     links = f"{corpus}/links.parquet"
     from fixtures.gen import _vocab
 
@@ -917,6 +927,31 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents)
             SELECT word, COUNT(*) AS df FROM tok GROUP BY word
             HAVING COUNT(*) >= 2
+        """,
+        # normalization: URL then email redaction on lowercased text
+        # (RE2 on both sides — the engine runs the same pattern strings
+        # through Arrow's RE2 kernels), then the pinned token stream
+        # with consecutive duplicates collapsed (1-based list lambda)
+        "normalize_text": f"""
+            WITH low AS (SELECT doc_id, lower(text) AS t0 FROM documents),
+            r1 AS (SELECT doc_id,
+                       len(regexp_extract_all(t0, '{_URL_RE}')) AS n_url,
+                       regexp_replace(t0, '{_URL_RE}', ' ', 'g') AS t1
+                   FROM low),
+            r2 AS (SELECT doc_id,
+                       n_url + len(regexp_extract_all(t1, '{_EMAIL_RE}'))
+                           AS n_redacted,
+                       regexp_replace(t1, '{_EMAIL_RE}', ' ', 'g') AS text
+                   FROM r1),
+            tok AS (SELECT doc_id, n_redacted, {_TOKS} AS toks FROM r2),
+            kept AS (SELECT doc_id, n_redacted, len(toks) AS nt,
+                       list_filter(toks,
+                           (x, i) -> i = 1 OR toks[i-1] <> x) AS k
+                     FROM tok)
+            SELECT doc_id, array_to_string(k, ' ') AS clean_text,
+                   n_redacted::BIGINT AS n_redacted,
+                   (nt - len(k))::BIGINT AS n_collapsed
+            FROM kept
         """,
         # Gopher-style repetition metrics over the pinned tokenizer;
         # DuckDB ROUND is half-away-from-zero, matching _round4

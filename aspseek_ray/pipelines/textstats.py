@@ -277,3 +277,55 @@ def contamination_flags(sf_dir: str, shingle: int = 3,
         return probe(pa.table({"doc_id": pa.array([], pa.int64()),
                                "text": pa.array([], pa.string())}))
     return pa.concat_tables(parts)
+
+
+# RE2 patterns (Arrow and DuckDB both run RE2, so one string serves the
+# engine and the SQL mirror); applied to lowercased text on both sides.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def normalize_text(sf_dir: str) -> pa.Table:
+    """Webtext normalization: redact URLs then emails (PII scrub) with
+    vectorized Arrow RE2 kernels — no Python in the regex path — then
+    canonicalize to the pinned token stream with consecutive duplicate
+    tokens collapsed (the boilerplate-run cleanup: nav menus and spam
+    repeat the same token back-to-back).
+
+    Output (doc_id, clean_text, n_redacted, n_collapsed): the
+    space-joined collapsed tokens, how many URL/email matches were
+    removed, and how many run-duplicate tokens were dropped. Counting
+    and replacement order (URLs first, emails on the URL-redacted
+    text) is pinned so the SQL oracle reproduces it exactly."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t0 = pc.utf8_lower(batch["text"])
+        n_url = pc.count_substring_regex(t0, URL_RE)
+        t1 = pc.replace_substring_regex(t0, URL_RE, " ")
+        n_mail = pc.count_substring_regex(t1, EMAIL_RE)
+        t2 = pc.replace_substring_regex(t1, EMAIL_RE, " ")
+        n_red = pc.add(n_url, n_mail).cast(pa.int64())
+        clean, n_col = [], np.zeros(batch.num_rows, np.int64)
+        for i, s in enumerate(t2.to_pylist()):
+            toks = tokenize(s)
+            kept = [t for j, t in enumerate(toks)
+                    if j == 0 or toks[j - 1] != t]
+            clean.append(" ".join(kept))
+            n_col[i] = len(toks) - len(kept)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_redacted": n_red,
+            "n_collapsed": pa.array(n_col),
+        })
+
+    out = ds.map_batches(norm, batch_format="pyarrow")
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return norm(pa.table({"doc_id": pa.array([], pa.int64()),
+                              "text": pa.array([], pa.string())}))
+    return pa.concat_tables(parts)

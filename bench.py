@@ -257,7 +257,7 @@ def run_bench() -> dict:
                      "boolean_and_search", "tfidf_search",
                      "events_asof_join", "orders_price_band_join",
                      "hll_distinct_users", "cms_heavy_users",
-                     "repetition_scores", "contamination_flags",
+                     "repetition_scores", "contamination_flags", "normalize_text",
                      "orders_price_quantiles",
                      "sample_documents"]
     for name in bench_queries:

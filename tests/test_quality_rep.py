@@ -63,3 +63,25 @@ def test_contamination_flags_hand_case(ray_session, tmp_path):
     assert out[3] == {"doc_id": 3, "n_grams": 0, "n_hits": 0,
                       "contaminated": False}
     assert out[5]["contaminated"] and out[5]["n_hits"] == 1
+
+
+def test_normalize_text_hand_case(ray_session, tmp_path):
+    from aspseek_ray.pipelines.textstats import normalize_text
+
+    rows = [
+        (1, "Contact me at Bob.Smith+x@corp.example.org now"),
+        (2, "see https://a.example/path?q=1 and http://b.example too"),
+        (3, "batch batch batch stream stream done"),
+        (4, ""),
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = {r["doc_id"]: r for r in
+           normalize_text(str(tmp_path)).to_pylist()}
+    assert out[1] == {"doc_id": 1, "clean_text": "contact me at now",
+                      "n_redacted": 1, "n_collapsed": 0}
+    assert out[2] == {"doc_id": 2, "clean_text": "see and too",
+                      "n_redacted": 2, "n_collapsed": 0}
+    assert out[3] == {"doc_id": 3, "clean_text": "batch stream done",
+                      "n_redacted": 0, "n_collapsed": 3}
+    assert out[4] == {"doc_id": 4, "clean_text": "",
+                      "n_redacted": 0, "n_collapsed": 0}
