@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_all_terms": relational.docs_with_all_terms,
         # webtext / training-data ops (oracle-backed)
         "token_stats": textstats.token_stats,
+        "bpe_token_counts": textstats.bpe_token_counts,
         "word_df": textstats.word_document_frequency,
         "exact_dedup": dedup.exact_dedup,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -921,6 +922,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
                         AS BIGINT) AS n_token_chars
             FROM tok
+        """,
+        # both patterns are RE2 on both sides (Arrow count_substring_regex
+        # vs DuckDB regexp_extract_all) — same engine, same leftmost-first
+        # alternation, so counts are exact
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "word_df": f"""
             WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word

@@ -329,3 +329,41 @@ def normalize_text(sf_dir: str) -> pa.Table:
         return norm(pa.table({"doc_id": pa.array([], pa.int64()),
                               "text": pa.array([], pa.string())}))
     return pa.concat_tables(parts)
+
+
+# GPT-2-style pre-tokenizer, RE2-compatible (lookahead-free): an optional
+# leading space glued to a letter run / digit run / punctuation run, with
+# residual whitespace runs as their own tokens. Non-ASCII letters fall in
+# the punctuation branch — pinned, and identical in Arrow and DuckDB
+# (both RE2, leftmost-first alternation — verified on unicode fixtures).
+BPE_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+WS_RE = r"\S+"
+
+
+def bpe_token_counts(sf_dir: str) -> pa.Table:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — token counting both ways the
+    brief names: whitespace words and a BPE-ish pre-tokenizer segment count
+    (the LLM-cost estimate: a GPT-2-family tokenizer's token count is the
+    number of pre-tokenizer segments, give or take merges). Entirely
+    vectorized: one RE2 scan per pattern via pc.count_substring_regex,
+    zero Python in the loop; exact integers, so the DuckDB oracle
+    (len(regexp_extract_all(...))) matches bitwise."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pc.count_substring_regex(t, WS_RE).cast(pa.int64()),
+            "n_bpe_tokens": pc.count_substring_regex(t, BPE_RE).cast(pa.int64()),
+        })
+
+    out = ds.map_batches(counts, batch_format="pyarrow")
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return counts(pa.table({"doc_id": pa.array([], pa.int64()),
+                                "text": pa.array([], pa.string())}))
+    return pa.concat_tables(parts)

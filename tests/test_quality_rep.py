@@ -85,3 +85,38 @@ def test_normalize_text_hand_case(ray_session, tmp_path):
                       "n_redacted": 0, "n_collapsed": 3}
     assert out[4] == {"doc_id": 4, "clean_text": "",
                       "n_redacted": 0, "n_collapsed": 0}
+
+
+def test_bpe_token_counts_hand_case(ray_session, tmp_path):
+    """The sf corpus is pure lowercase-word-space text where the BPE-ish
+    and whitespace counts coincide, so the oracle alone doesn't prove the
+    pre-tokenizer branch — these hand strings do (punct runs, digit runs,
+    glued case changes, unicode, empty), cross-checked against the SAME
+    RE2 pattern in DuckDB."""
+    import duckdb
+
+    from aspseek_ray.pipelines.textstats import bpe_token_counts
+
+    rows = [
+        (0, "Hello, world!  It's 2026-08-18."),   # punct+digit runs split
+        (1, ""),                                   # empty: 0 / 0
+        (2, "  leading  spaces"),                  # ws runs count in bpe
+        (3, "CamelCaseGlued x86_64"),              # case glue stays one run
+        (4, "unicode héllo ü 漢字 test"),           # non-ASCII -> punct branch
+        (5, "...!!!"),
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in bpe_token_counts(str(tmp_path)).to_pylist()}
+
+    con = duckdb.connect()
+    want = {i: tuple(con.execute(
+        "SELECT len(regexp_extract_all(?, '\\S+')),"
+        " len(regexp_extract_all(?,"
+        " ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))",
+        [t, t]).fetchone()) for i, t in rows}
+    assert got == want
+    # and the branch is load-bearing: bpe > ws wherever punctuation splits
+    assert got[0] == (4, 14)
+    assert got[1] == (0, 0)
+    assert got[4] == (5, 7)
