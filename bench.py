@@ -258,6 +258,7 @@ def run_bench() -> dict:
                      "events_asof_join", "orders_price_band_join",
                      "hll_distinct_users", "cms_heavy_users",
                      "repetition_scores", "contamination_flags", "normalize_text",
+                     "bpe_token_counts",
                      "orders_price_quantiles",
                      "sample_documents"]
     for name in bench_queries:
