@@ -446,8 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_site_search": crawl_site_search,
         "crawl_search_scaleplan": crawl_search_scaleplan,
         "crawl_parsed_search": crawl_parsed_search,
-        # rows-only (non-SQL-expressible: iterative / approximate /
-        # stateful)
+        # oracle-backed (bitwise SQL mirrors of the deterministic hash
+        # families / rank arithmetic, despite being sketch-shaped)
         "hll_distinct_users": _hll_distinct_users,
         "cms_heavy_users": _cms_heavy_users,
         "repetition_scores": repetition_scores,
@@ -1065,11 +1065,14 @@ def oracle_sql() -> dict[str, str]:
         # EXACT quantiles: rank = ceil(q*n) clamped, value by row_number —
         # the same (double) rank arithmetic as pipelines/quantiles.py
         "orders_price_quantiles": """
-            WITH n AS (SELECT count(*)::DOUBLE AS c FROM orders),
+            WITH vals AS (SELECT o_totalprice FROM orders
+                          WHERE o_totalprice IS NOT NULL
+                            AND isfinite(o_totalprice)),
+            n AS (SELECT count(*)::DOUBLE AS c FROM vals),
             qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
             ranked AS (SELECT o_totalprice AS v,
                               row_number() OVER (ORDER BY o_totalprice) AS r
-                       FROM orders)
+                       FROM vals)
             SELECT q, v AS value
             FROM qs CROSS JOIN n
             JOIN ranked

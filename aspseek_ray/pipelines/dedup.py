@@ -317,9 +317,12 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
 
 # -------------------------------------------------------------------- simhash
-def simhash64(sf_dir: str) -> pa.Table:
-    """(doc_id, simhash) — 64-bit SimHash over token hashes weighted by
-    term frequency (Charikar 2002, public algorithm)."""
+def simhash64_ds(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, simhash) as a lazy Dataset — 64-bit SimHash over token
+    hashes weighted by term frequency (Charikar 2002, public algorithm).
+    Stays a Dataset end-to-end: at 10^10 docs the signature table is
+    ~160 GB and must never concat on the driver; downstream stages
+    (simhash_near_pairs) consume this directly."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sim(batch: pa.Table) -> pa.Table:
@@ -354,8 +357,13 @@ def simhash64(sf_dir: str) -> pa.Table:
             out[i] = powers[v > 0].sum().astype(np.uint64).view(np.int64) if (v > 0).any() else 0
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 
-    out = ds.map_batches(sim, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return ds.map_batches(sim, batch_format="pyarrow")
+
+
+def simhash64(sf_dir: str) -> pa.Table:
+    """Public small-result Table wrapper over simhash64_ds (tests/REPL
+    only — pipelines consume the Dataset form)."""
+    return pa.concat_tables(ray.get(simhash64_ds(sf_dir).to_arrow_refs()))
 
 
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
@@ -366,8 +374,7 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
 
     Groups are keyed (block_id, block_key % salt) — identical pairs for any
     salt, per-group rows bounded by ~corpus/salt (see minhash_lsh_pairs)."""
-    t = simhash64(sf_dir)
-    ds = rd.from_arrow(t)
+    ds = simhash64_ds(sf_dir)
 
     def blocks(batch: pa.Table) -> pa.Table:
         sh = batch["simhash"].to_numpy().view(np.uint64)

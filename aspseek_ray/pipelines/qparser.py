@@ -287,19 +287,10 @@ def _eval(node: Node, pos_of, sets) -> np.ndarray:
 
 def search_query(sf_dir: str, q: str) -> pa.Table:
     """Parse ``q`` and run it against the documents postings index: one
-    pruned index fetch for all leaf terms, then set algebra. Returns
+    pruned index fetch for all leaf terms, then set algebra — on the
+    driver below the posting-row switch, as distributed Dataset bitmask
+    algebra above it (search._ast_plan's dual-plan pattern). Returns
     (doc_id) sorted ascending."""
-    from aspseek_ray.pipelines.search import _term_postings
+    from aspseek_ray.pipelines.search import _ast_plan
 
-    ast = parse_query(q)
-    terms = tuple(sorted(leaf_terms(ast)))
-    post, _ = _term_postings(sf_dir, terms)
-    pos_of: dict[tuple[str, int], np.ndarray] = {}
-    docs_of: dict[str, list[int]] = {}
-    for w, d, ps in zip(post["word"].to_pylist(), post["doc_seq"].to_pylist(),
-                        post["positions"].to_pylist()):
-        pos_of[(w, d)] = np.asarray(ps, np.int64)
-        docs_of.setdefault(w, []).append(d)
-    sets = {w: np.sort(np.asarray(ds, np.int64)) for w, ds in docs_of.items()}
-    out = _eval(ast, pos_of, sets)
-    return pa.table({"doc_id": pa.array(np.sort(out), pa.int64())})
+    return _ast_plan(sf_dir, parse_query(q))

@@ -404,8 +404,8 @@ def events_sessions(sf_dir: str, gap_s: int = 1800,
         # pairwise trees that depend on segment length)
         sid = new_session.to_numpy()
         starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
-        out["total_value"] = np.round(
-            np.add.reduceat(g["value"].to_numpy(), starts), 2)
+        raw = np.add.reduceat(g["value"].to_numpy(), starts)
+        out["total_value"] = _round2(raw).to_numpy()
         return out.reset_index(drop=True)
 
     out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")

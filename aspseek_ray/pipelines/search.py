@@ -141,11 +141,22 @@ def _ensure_stem_forms(pdir: str) -> str:
     return str(out)
 
 
-def _term_postings(sf_dir: str, terms: tuple[str, ...]) -> tuple[pa.Table, int]:
-    """Fetch the posting rows of exactly ``terms`` — reads ONLY the terms'
+# Posting-row budget above which the set algebra leaves the driver: below
+# it the query assembles on the driver (the searchd model — right for any
+# human-facing query over rare-to-moderate terms); above it (a Zipf-head
+# term at corpus scale — the index keeps stopwords by design) membership is
+# computed as distributed Dataset algebra and the driver only receives the
+# final result rows.
+DRIVER_MAX_POSTING_ROWS = 2_000_000
+
+
+def _term_postings_ds(sf_dir: str, terms: tuple[str, ...],
+                      ) -> tuple["rd.Dataset | None", int]:
+    """Lazy pruned posting fetch: a Dataset over ONLY the terms'
     word_bucket partitions with a word-pruned row filter (the searchd
     cache.cpp role: query cost scales with posting-list size, not corpus
-    size). Returns ((word, doc_seq, positions) table, n_docs)."""
+    size). Returns (Dataset of (word, doc_seq, positions) or None when no
+    bucket exists, n_docs)."""
     pdir, n_docs = _ensure_doc_postings(sf_dir)
     buckets = sorted({int(np.abs(fnv1a64(w)) % NUM_WORD_BUCKETS) for w in terms})
     paths = []
@@ -154,16 +165,26 @@ def _term_postings(sf_dir: str, terms: tuple[str, ...]) -> tuple[pa.Table, int]:
         if d.exists():
             paths.extend(sorted(str(f) for f in d.glob("*.parquet")))
     if not paths:
-        return pa.table({"word": pa.array([], pa.string()),
-                         "doc_seq": pa.array([], pa.int64()),
-                         "positions": pa.array([], pa.list_(pa.int32()))}), n_docs
+        return None, n_docs
     ds = rd.read_parquet(paths, columns=["word", "doc_seq", "positions"],
                          filter=pc.field("word").isin(list(terms)))
+    return ds, n_docs
+
+
+_EMPTY_POSTINGS = {"word": pa.array([], pa.string()),
+                   "doc_seq": pa.array([], pa.int64()),
+                   "positions": pa.array([], pa.list_(pa.int32()))}
+
+
+def _term_postings(sf_dir: str, terms: tuple[str, ...]) -> tuple[pa.Table, int]:
+    """Driver-side posting fetch (small-query path): collect the pruned
+    Dataset of _term_postings_ds into one Arrow table."""
+    ds, n_docs = _term_postings_ds(sf_dir, terms)
+    if ds is None:
+        return pa.table(_EMPTY_POSTINGS), n_docs
     parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     if not parts:
-        return pa.table({"word": pa.array([], pa.string()),
-                         "doc_seq": pa.array([], pa.int64()),
-                         "positions": pa.array([], pa.list_(pa.int32()))}), n_docs
+        return pa.table(_EMPTY_POSTINGS), n_docs
     return pa.concat_tables(parts).combine_chunks(), n_docs
 
 
@@ -178,77 +199,220 @@ def _doc_sets(post: pa.Table) -> dict[str, np.ndarray]:
     return out
 
 
-# ------------------------------------------------------------------ queries
-def phrase_search(sf_dir: str,
-                  phrase: tuple[str, ...] = DEFAULT_PHRASE) -> pa.Table:
-    """doc_ids whose token stream contains the n-word phrase contiguously —
-    postings-positions check: intersect the terms' doc-sorted lists, then
-    require a position p with word_i at p+i for every i (reference phrase
-    operator, qparser.cpp n-word phrases)."""
-    words = tuple(phrase)
-    assert len(words) >= 2
-    post, _ = _term_postings(sf_dir, tuple(set(words)))
-    if post.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64())})
+# ---------------------------------------------- distributed set algebra
+def _phrase_nodes(node) -> list:
+    """Every distinct Phrase node in an AST, in first-appearance order."""
+    from aspseek_ray.pipelines.qparser import And, Not, Or, Phrase
+
+    out: list = []
+
+    def walk(n):
+        if isinstance(n, Phrase):
+            if n not in out:
+                out.append(n)
+        elif isinstance(n, Not):
+            walk(n.child)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+    return out
+
+
+def _sym_truth(node, have: frozenset, sym_of) -> bool:
+    """Evaluate an AST given the set of present symbols (term words +
+    phrase sentinel symbols) of one document — the per-doc dual of
+    qparser._eval's global set algebra (equivalent because the validated
+    grammar guarantees every match contains >=1 positive leaf, so every
+    matching doc has at least one posting row and is seen)."""
+    from aspseek_ray.pipelines.qparser import And, Not, Or, Phrase, Term
+
+    if isinstance(node, Term):
+        return node.word in have
+    if isinstance(node, Phrase):
+        return sym_of[node] in have
+    if isinstance(node, Not):
+        return not _sym_truth(node.child, have, sym_of)
+    if isinstance(node, And):
+        return all(_sym_truth(c, have, sym_of) for c in node.children)
+    return any(_sym_truth(c, have, sym_of) for c in node.children)
+
+
+def _eval_ast_distributed(ds: "rd.Dataset", ast) -> "rd.Dataset":
+    """Distributed boolean/phrase evaluation over a pruned posting
+    Dataset: per-doc symbol presence is folded into a 63-bit mask —
+    each (word, doc) posting row is globally unique by construction of
+    the index build, and each phrase sentinel is emitted once per
+    matching doc, so Sum(bit) == bitwise OR — with per-batch partial
+    combination before the one groupby(doc_seq) shuffle; the AST truth
+    table is then applied vectorized over the handful of distinct masks.
+    The driver never touches a posting row. Returns a (doc_id) Dataset
+    (unsorted; callers sort/collect as their API requires)."""
+    from ray.data.aggregate import Sum
+
+    from aspseek_ray.pipelines.qparser import leaf_terms
+
+    words = sorted(leaf_terms(ast))
+    phrases = _phrase_nodes(ast)
+    sym_of = {p: f"\x00p{i}" for i, p in enumerate(phrases)}
+    syms = words + [sym_of[p] for p in phrases]
+    if len(syms) > 63:
+        raise ValueError("query has more than 63 distinct terms/phrases")
+    bit_of = {s: np.int64(1) << np.int64(i) for i, s in enumerate(syms)}
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_seq", "word"]).rename_columns(
+            ["doc_seq", "sym"])
+
+    rows = ds.map_batches(term_rows, batch_format="pyarrow")
+
+    if phrases:
+        pw = sorted({w for p in phrases for w in p.words})
+        plist = [(sym_of[p], tuple(p.words)) for p in phrases]
+
+        def keep_phrase_words(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.field("word").isin(pw))
+
+        def check(g: pd.DataFrame) -> pa.Table:
+            pos_of = {w: np.asarray(ps, np.int64)
+                      for w, ps in zip(g["word"], g["positions"])}
+            hit = []
+            for sym, ws in plist:
+                if not all(w in pos_of for w in ws):
+                    continue
+                if len(ws) == 1:
+                    hit.append(sym)
+                    continue
+                starts = pos_of[ws[0]]
+                for i, w in enumerate(ws[1:], start=1):
+                    starts = starts[np.isin(starts + i, pos_of[w])]
+                    if starts.size == 0:
+                        break
+                else:
+                    hit.append(sym)
+            d = int(g["doc_seq"].iloc[0])
+            return pa.table({
+                "doc_seq": pa.array(np.full(len(hit), d, dtype=np.int64)),
+                "sym": pa.array(hit, pa.string())})
+
+        phrase_rows = (ds.map_batches(keep_phrase_words,
+                                      batch_format="pyarrow")
+                         .groupby("doc_seq")
+                         .map_groups(check, batch_format="pandas"))
+        rows = rows.union(phrase_rows)
+
+    def mask_partial(df: pd.DataFrame) -> pa.Table:
+        bits = df["sym"].map(bit_of).astype(np.int64)
+        part = (pd.DataFrame({"doc_seq": df["doc_seq"], "m": bits})
+                .groupby("doc_seq", as_index=False)["m"].sum())
+        return pa.table({
+            "doc_seq": pa.array(part["doc_seq"].to_numpy(), pa.int64()),
+            "m": pa.array(part["m"].to_numpy(), pa.int64())})
+
+    masks = (rows.map_batches(mask_partial, batch_format="pandas")
+                 .groupby("doc_seq").aggregate(Sum("m", alias_name="m")))
+
+    def apply_truth(batch: pa.Table) -> pa.Table:
+        m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(m, return_inverse=True)
+        ok = np.zeros(len(uniq), dtype=bool)
+        for i, mv in enumerate(uniq):
+            have = frozenset(s for s, b in bit_of.items() if int(mv) & int(b))
+            ok[i] = _sym_truth(ast, have, sym_of)
+        keep = ok[inv]
+        return pa.table({"doc_id": batch["doc_seq"].filter(pa.array(keep))})
+
+    return masks.map_batches(apply_truth, batch_format="pyarrow")
+
+
+def _ast_plan(sf_dir: str, ast,
+              driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+              ) -> pa.Table:
+    """Unified two-plan boolean/phrase query (the ranked_crawl_search
+    dual-plan pattern): one pruned posting fetch for all leaf terms, then
+    EITHER driver-side numpy set algebra (qparser._eval — posting rows
+    fit the driver budget) OR the distributed bitmask plan above it.
+    Plans are semantically identical (proven equal in
+    tests/test_search_scale.py). Returns (doc_id) sorted ascending."""
+    from aspseek_ray.pipelines.qparser import _eval, leaf_terms
+
+    terms = tuple(sorted(leaf_terms(ast)))
+    ds, _ = _term_postings_ds(sf_dir, terms)
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if ds is None:
+        return empty
+    if ds.count() > driver_max_posting_rows:
+        out = _eval_ast_distributed(ds, ast).sort("doc_id")
+        parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        return (pa.concat_tables(parts).combine_chunks()
+                if parts else empty)
+    post = _term_postings(sf_dir, terms)[0]
     pos_of: dict[tuple[str, int], np.ndarray] = {}
+    docs_of: dict[str, list[int]] = {}
     for w, d, ps in zip(post["word"].to_pylist(), post["doc_seq"].to_pylist(),
                         post["positions"].to_pylist()):
         pos_of[(w, d)] = np.asarray(ps, np.int64)
-    doc_lists = []
-    for w in set(words):
-        doc_lists.append(np.sort(np.array([d for (x, d) in pos_of if x == w],
-                                          np.int64)))
-    both = doc_lists[0]
-    for dl in doc_lists[1:]:
-        both = np.intersect1d(both, dl, assume_unique=True)
-    keep = []
-    for d in both:
-        d = int(d)
-        starts = pos_of[(words[0], d)]
-        for i, w in enumerate(words[1:], start=1):
-            starts = starts[np.isin(starts + i, pos_of[(w, d)])]
-            if starts.size == 0:
-                break
-        else:
-            keep.append(d)
-    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+        docs_of.setdefault(w, []).append(d)
+    sets = {w: np.sort(np.asarray(dl, np.int64)) for w, dl in docs_of.items()}
+    return pa.table({"doc_id": pa.array(np.sort(_eval(ast, pos_of, sets)),
+                                        pa.int64())})
 
 
-def boolean_and_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS) -> pa.Table:
+# ------------------------------------------------------------------ queries
+def phrase_search(sf_dir: str,
+                  phrase: tuple[str, ...] = DEFAULT_PHRASE,
+                  driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                  ) -> pa.Table:
+    """doc_ids whose token stream contains the n-word phrase contiguously —
+    postings-positions check: intersect the terms' doc-sorted lists, then
+    require a position p with word_i at p+i for every i (reference phrase
+    operator, qparser.cpp n-word phrases). Two physical plans behind the
+    posting-row size switch (_ast_plan)."""
+    from aspseek_ray.pipelines.qparser import Phrase
+
+    words = tuple(phrase)
+    assert len(words) >= 2
+    return _ast_plan(sf_dir, Phrase(words), driver_max_posting_rows)
+
+
+def boolean_and_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
+                       driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                       ) -> pa.Table:
     """doc_ids containing EVERY query term — posting-list AND intersection
-    over doc-sorted lists (O27)."""
-    post, _ = _term_postings(sf_dir, terms)
-    sets = _doc_sets(post)
-    if any(t not in sets for t in terms):
-        return pa.table({"doc_id": pa.array([], pa.int64())})
-    acc: np.ndarray | None = None
-    for t in sorted(set(terms), key=lambda t: len(sets[t])):  # rarest first
-        acc = sets[t] if acc is None else np.intersect1d(acc, sets[t],
-                                                         assume_unique=True)
-    return pa.table({"doc_id": pa.array(np.sort(acc), pa.int64())})
+    (O27); driver numpy set algebra below the posting-row switch,
+    distributed bitmask plan above it."""
+    from aspseek_ray.pipelines.qparser import And, Term
+
+    uniq = tuple(dict.fromkeys(terms))
+    ast = Term(uniq[0]) if len(uniq) == 1 else And(tuple(Term(t) for t in uniq))
+    return _ast_plan(sf_dir, ast, driver_max_posting_rows)
 
 
-def boolean_or_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS) -> pa.Table:
+def boolean_or_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
+                      driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                      ) -> pa.Table:
     """doc_ids containing ANY query term — posting-list OR union (O27,
-    qparser.cpp boolean grammar)."""
-    post, _ = _term_postings(sf_dir, terms)
-    sets = _doc_sets(post)
-    if not sets:
-        return pa.table({"doc_id": pa.array([], pa.int64())})
-    acc = np.unique(np.concatenate(list(sets.values())))
-    return pa.table({"doc_id": pa.array(acc, pa.int64())})
+    qparser.cpp boolean grammar); dual physical plans as
+    boolean_and_search."""
+    from aspseek_ray.pipelines.qparser import Or, Term
+
+    uniq = tuple(dict.fromkeys(terms))
+    ast = Term(uniq[0]) if len(uniq) == 1 else Or(tuple(Term(t) for t in uniq))
+    return _ast_plan(sf_dir, ast, driver_max_posting_rows)
 
 
 def boolean_not_search(sf_dir: str, include: str = "spark",
-                       exclude: str = "window") -> pa.Table:
+                       exclude: str = "window",
+                       driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                       ) -> pa.Table:
     """doc_ids containing ``include`` but NOT ``exclude`` — posting-list
-    difference (O27 NOT operator)."""
-    post, _ = _term_postings(sf_dir, (include, exclude))
-    sets = _doc_sets(post)
-    inc = sets.get(include, np.empty(0, np.int64))
-    exc = sets.get(exclude, np.empty(0, np.int64))
-    out = np.setdiff1d(inc, exc, assume_unique=True)
-    return pa.table({"doc_id": pa.array(np.sort(out), pa.int64())})
+    difference (O27 NOT operator); dual physical plans as
+    boolean_and_search."""
+    from aspseek_ray.pipelines.qparser import And, Not, Term
+
+    ast = And((Term(include), Not(Term(exclude))))
+    return _ast_plan(sf_dir, ast, driver_max_posting_rows)
 
 
 def stemmed_search(sf_dir: str,
@@ -284,17 +448,16 @@ def stemmed_search(sf_dir: str,
     stem_of = dict(zip(forms["word"].to_pylist(), forms["stem"].to_pylist()))
     if set(stem_of.values()) != want:       # some stem has no surface form
         return pa.table({"doc_id": pa.array([], pa.int64())})
-    post, _ = _term_postings(sf_dir, tuple(sorted(set(stem_of))))
-    sets = _doc_sets(post)
-    by_stem: dict[str, list[np.ndarray]] = {}
-    for w, docs in sets.items():
-        by_stem.setdefault(stem_of[w], []).append(docs)
-    acc: np.ndarray | None = None
-    for s in want:
-        docs = np.unique(np.concatenate(by_stem.get(s, [np.empty(0, np.int64)])))
-        acc = docs if acc is None else np.intersect1d(acc, docs,
-                                                      assume_unique=True)
-    return pa.table({"doc_id": pa.array(np.sort(acc), pa.int64())})
+    from aspseek_ray.pipelines.qparser import And, Or, Term
+
+    forms_of: dict[str, list[str]] = {}
+    for w in sorted(stem_of):
+        forms_of.setdefault(stem_of[w], []).append(w)
+    groups = tuple(
+        Term(fs[0]) if len(fs) == 1 else Or(tuple(Term(f) for f in fs))
+        for s, fs in sorted(forms_of.items()))
+    ast = groups[0] if len(groups) == 1 else And(groups)
+    return _ast_plan(sf_dir, ast)
 
 
 def ispell_search(sf_dir: str, word: str, affix_text: str,
@@ -659,15 +822,59 @@ def excerpts(store_dir: str, terms: tuple[str, ...],
 
 
 def tfidf_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
-                 k: int = 10) -> pa.Table:
+                 k: int = 10,
+                 driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                 ) -> pa.Table:
     """Top-k docs by sum_t tf(t,d)*ln(N/df(t)) over the query terms
     (deterministic tiebreak doc_id), computed from the index: tf =
     |positions| per posting row, df = posting-list length — the scoring
-    inputs searchd keeps alongside each list (O24/O30)."""
-    post, n_docs = _term_postings(sf_dir, tuple(set(terms)))
+    inputs searchd keeps alongside each list (O24/O30). Above the
+    posting-row switch the whole score pipeline runs distributed (df via
+    one tiny groupby(word) count, idf broadcast in the closure, per-doc
+    sums via groupby(doc_seq), per-batch partial top-k) and the driver
+    receives only O(k x blocks) candidate rows."""
+    ds, n_docs = _term_postings_ds(sf_dir, tuple(set(terms)))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if ds is None:
+        return empty
+    if ds.count() > driver_max_posting_rows:
+        from ray.data.aggregate import Count, Sum
+
+        dfp = ds.groupby("word").aggregate(Count(alias_name="df")).to_pandas()
+        if not len(dfp):
+            return empty
+        idf = {w: math.log(n_docs / d)
+               for w, d in zip(dfp["word"], dfp["df"])}
+
+        def weigh(b: pa.Table) -> pa.Table:
+            tf = pc.list_value_length(b["positions"]).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            w = tf * np.array([idf[t] for t in b["word"].to_pylist()])
+            return pa.table({"doc_seq": b["doc_seq"], "w": pa.array(w)})
+
+        scores = (ds.map_batches(weigh, batch_format="pyarrow")
+                    .groupby("doc_seq").aggregate(Sum("w", alias_name="w")))
+
+        def partial_topk(b: pa.Table) -> pa.Table:
+            return b.sort_by([("w", "descending"),
+                              ("doc_seq", "ascending")]).slice(0, k)
+
+        parts = [t for t in ray.get(scores.map_batches(
+            partial_topk, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        if not parts:
+            return empty
+        cand = pa.concat_tables(parts).to_pandas()
+        cand = cand.sort_values(["w", "doc_seq"],
+                                ascending=[False, True]).head(k)
+        return pa.table({"doc_id": pa.array(cand["doc_seq"].to_numpy(),
+                                            pa.int64()),
+                         "score": pa.array(np.round(cand["w"].to_numpy(),
+                                                    4))})
+    post = _term_postings(sf_dir, tuple(set(terms)))[0]
     if post.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.float64())})
+        return empty
     df_pdf = post.select(["word", "doc_seq"]).to_pandas()
     tf = pc.list_value_length(post["positions"]).to_numpy(zero_copy_only=False)
     df_pdf["tf"] = tf.astype(np.int64)

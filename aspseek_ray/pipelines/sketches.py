@@ -115,16 +115,20 @@ def cms_heavy_hitters(sf_dir: str, table: str = "events",
 
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
 
-    def _keys(batch: pa.Table) -> np.ndarray:
-        col = batch[column]
+    def _keys(col) -> np.ndarray:
+        # Null-safe: drop nulls BEFORE the numpy conversion (a
+        # null-bearing int column converts to float64+NaN and then to
+        # an undefined uint64 cast); same domain in grid and probe.
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.drop_null()
         if pa.types.is_integer(col.type):
-            return col.to_numpy().astype(np.uint64)
+            return col.to_numpy(zero_copy_only=False).astype(np.uint64)
         from aspseek_ray.functions.hashing import fnv1a64_arrow
 
         return fnv1a64_arrow(col).astype(np.uint64)
 
     def grid_partial(batch: pa.Table) -> pa.Table:
-        cols = _cms_cols(_keys(batch), width, depth)
+        cols = _cms_cols(_keys(batch[column]), width, depth)
         cells, cnts = [], []
         for j in range(depth):
             bc = np.bincount(cols[j], minlength=width)
@@ -147,13 +151,8 @@ def cms_heavy_hitters(sf_dir: str, table: str = "events",
 
     def probe(batch: pa.Table) -> pa.Table:
         g = ray.get(grid_ref)
-        uniq = pa.compute.unique(batch[column])
-        keys = (uniq.to_numpy(zero_copy_only=False).astype(np.uint64)
-                if pa.types.is_integer(uniq.type) else None)
-        if keys is None:
-            from aspseek_ray.functions.hashing import fnv1a64_arrow
-
-            keys = fnv1a64_arrow(uniq).astype(np.uint64)
+        uniq = pa.compute.unique(batch[column]).drop_null()
+        keys = _keys(uniq)
         cols = _cms_cols(keys, width, depth)
         est = g[np.arange(depth)[:, None], cols].min(axis=0)
         keep = est >= threshold
