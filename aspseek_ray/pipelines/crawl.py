@@ -447,6 +447,13 @@ class Crawler:
                 shutil.rmtree(srd)
             srd.mkdir(parents=True)
             store_round_dir = str(srd)
+            # store bucket modulus — lets the excerpt path prune a k-url
+            # slice to its hash buckets instead of sweeping the store
+            meta = self.out / "store" / "_meta.json"
+            if not meta.exists():
+                meta.write_text(json.dumps(
+                    {"num_buckets": self.cfg.num_page_buckets,
+                     "key": "abs(fnv1a64(url)) % num_buckets"}))
         stage = FetchTraceDiscover(self.bucket_dir, str(trace_round_dir), rnd,
                                    self.cfg.max_hops, store_round_dir,
                                    self.redirect_dir)

@@ -776,6 +776,31 @@ class QueryCache:
         return val
 
 
+def _store_paths_for(store_dir: str,
+                     urls: tuple[str, ...] | None) -> list[str]:
+    """Bucket-pruned store file list: a crawl store is url-hash-bucketed
+    exactly like the pages table (part-{abs(fnv1a64(url)) % B}.parquet
+    inside each round=K/ dir; B recorded in store/_meta.json at crawl
+    time), so a k-url excerpt slice needs only the k urls' buckets —
+    O(k-buckets x rounds) files, never the whole store. Fallbacks stay
+    correct: urls=None (whole-store sweep), a store without the manifest
+    (pre-round-5 or hand-built test stores), or a flat layout all return
+    every parquet under the dir."""
+    root = Path(store_dir)
+    all_files = sorted(str(f) for f in root.rglob("*.parquet"))
+    if urls is None:
+        return all_files
+    meta = root / "_meta.json"
+    if not meta.exists():
+        return all_files
+    num_buckets = int(json.loads(meta.read_text())["num_buckets"])
+    from aspseek_ray.functions.hashing import fnv1a64
+
+    want = {int(np.abs(fnv1a64(u))) % num_buckets for u in urls}
+    return [p for p in all_files
+            if int(Path(p).stem.rsplit("-", 1)[1]) in want]
+
+
 def excerpts(store_dir: str, terms: tuple[str, ...],
              width: int = 40, urls: tuple[str, ...] | None = None) -> pa.Table:
     """Cached-copy excerpt slicing (the ``stored`` daemon's excerpts.cpp
@@ -784,18 +809,18 @@ def excerpts(store_dir: str, terms: tuple[str, ...],
     the first match. Distributed map over the store partitions; only
     matching rows leave the stage. Output (url, term, excerpt).
     ``urls``: restrict to these urls (the result-page path slices
-    excerpts for k results, not the whole store)."""
+    excerpts for k results, not the whole store) — the read is pruned to
+    the urls' hash buckets (_store_paths_for) and the url predicate is
+    pushed into the parquet scan, so cost is O(k buckets), not a
+    full-store sweep."""
     import re
 
     pats = {t: re.compile(r"(?<![a-z0-9])" + re.escape(t) + r"(?![a-z0-9])")
             for t in terms}
-    url_set = frozenset(urls) if urls is not None else None
 
     def slice_batch(batch: pa.Table) -> pa.Table:
         out_u, out_t, out_e = [], [], []
         for u, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
-            if url_set is not None and u not in url_set:
-                continue
             low = (text or "").lower()
             for t, pat in pats.items():
                 m = pat.search(low)
@@ -810,13 +835,18 @@ def excerpts(store_dir: str, terms: tuple[str, ...],
                          "term": pa.array(out_t, pa.string()),
                          "excerpt": pa.array(out_e, pa.string())})
 
-    ds = rd.read_parquet(store_dir, columns=["url", "text"])
+    paths = _store_paths_for(store_dir, urls)
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "term": pa.array([], pa.string()),
+                      "excerpt": pa.array([], pa.string())})
+    if not paths:
+        return empty
+    flt = pc.field("url").isin(list(urls)) if urls is not None else None
+    ds = rd.read_parquet(paths, columns=["url", "text"], filter=flt)
     out = ds.map_batches(slice_batch, batch_format="pyarrow")
     parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     if not parts:
-        return pa.table({"url": pa.array([], pa.string()),
-                         "term": pa.array([], pa.string()),
-                         "excerpt": pa.array([], pa.string())})
+        return empty
     return pa.concat_tables(parts).sort_by([("url", "ascending"),
                                             ("term", "ascending")])
 
