@@ -71,9 +71,31 @@ def _doc_token_hashes(text: str, ngram: int = 1) -> np.ndarray:
                                  np.int64, len(elems)))
 
 
+# Mean stored text bytes per doc above which jaccard_pairs switches from
+# the ship-blobs-with-prefixes plan to the doc_id-only candidate pass +
+# blob-table join: long docs make the O(prefix_len x |d|) per-doc payload
+# of the prefix plan quadratic in doc length, while the join plan ships
+# each blob once per candidate pair. Decided from parquet footer
+# statistics — zero data read.
+LONG_DOC_MEAN_BYTES = 16384
+
+
+def _mean_text_bytes(path: str, column: str = "text") -> float:
+    """Mean uncompressed bytes of ``column`` per row, from parquet footer
+    metadata only (no scan)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.names.index(column)
+    total = sum(md.row_group(i).column(idx).total_uncompressed_size
+                for i in range(md.num_row_groups))
+    return total / max(1, md.num_rows)
+
+
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                   hot_k: int = 65536, cand_salt: int = 1024,
-                  ngram: int = 1) -> pa.Table:
+                  ngram: int = 1, plan: str = "auto",
+                  long_doc_mean_bytes: int = LONG_DOC_MEAN_BYTES) -> pa.Table:
     """EXACT all-pairs word-set Jaccard >= threshold via PREFIX FILTERING
     (PPJoin/All-Pairs family — Bayardo et al. 2007, Xiao et al. 2008,
     public algorithms). Output (doc_a, doc_b, jaccard), doc_a < doc_b,
@@ -102,12 +124,27 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
          ONCE globally — only in the group of the pair's MINIMAL common
          prefix token (so no distributed dedup is needed).
 
-    Payload note: each prefix row ships the doc's token-hash blob, i.e.
-    O(prefix_len x |d|) bytes per doc through the one shuffle — ideal for
-    web-page-sized docs; for very long documents switch to a doc_id-only
-    candidate pass + hash-join verification against a blob table, and for
-    corpus-scale near-dup use minhash_lsh_pairs (the designed scale path)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    Payload note — TWO physical plans behind a doc-length switch
+    (``plan``: 'auto' decides by mean stored text bytes from parquet
+    footer stats, 'prefix-blob' / 'blob-join' force):
+      * prefix-blob (short docs, the web-page default): each prefix row
+        ships the doc's token-hash blob, O(prefix_len x |d|) bytes per
+        doc through the one shuffle; pairs are emitted exactly once via
+        the minimal-common-prefix-token rule — no dedup pass.
+      * blob-join (long docs): prefix rows carry doc_id/size ONLY
+        (16 B/row); candidate pairs are deduped by one
+        groupby(doc_a, doc_b), then verified by a hash-join against a
+        (doc_id, blob) table — each blob ships once per candidate pair
+        it appears in instead of once per prefix token. Identical output
+        proven in tests/test_dedup_longdoc.py.
+    For corpus-scale near-dup use minhash_lsh_pairs (the designed scale
+    path)."""
+    doc_path = f"{sf_dir}/documents.parquet"
+    if plan == "auto":
+        plan = ("blob-join"
+                if _mean_text_bytes(doc_path) > long_doc_mean_bytes
+                else "prefix-blob")
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
     from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -124,6 +161,10 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                 .sort("df", descending=True).limit(hot_k).to_pandas())
     hot_ref = ray.put(dict(zip(df_hot["word_hash"].astype(np.int64),
                                df_hot["df"].astype(np.int64))))
+
+    if plan == "blob-join":
+        return _jaccard_blob_join(ds, hot_ref, threshold, cand_salt, ngram)
+    assert plan == "prefix-blob", plan
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)
@@ -198,6 +239,137 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     return pa.table({"doc_a": pa.array(pdf["doc_a"].to_numpy(), pa.int64()),
                      "doc_b": pa.array(pdf["doc_b"].to_numpy(), pa.int64()),
                      "jaccard": pa.array(pdf["jaccard"].to_numpy(), pa.float64())})
+
+
+def _jaccard_blob_join(ds: "rd.Dataset", hot_ref, threshold: float,
+                       cand_salt: int, ngram: int) -> pa.Table:
+    """The long-document jaccard_pairs plan: doc_id-only candidate pass +
+    blob-table hash-join verification (the switch jaccard_pairs's
+    docstring documents). Prefix rows carry (word_hash, doc_id, size) —
+    no blobs — so the candidate shuffle is O(prefix_len) x 16 B per doc
+    regardless of doc length; each doc's ordered-hash blob then ships
+    once per deduped candidate pair through two keyed groupbys, never
+    once per prefix token. Identical (doc_a, doc_b, jaccard) output to
+    the prefix-blob plan."""
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        grp_c, word_c, doc_c, size_c = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = _doc_token_hashes(t, ngram)
+            n = len(hs)
+            if n == 0:
+                continue
+            dfs = np.fromiter((hot.get(int(h), 1) for h in hs), np.int64, n)
+            ordered = hs[np.lexsort((hs, dfs))]
+            p = n - int(np.ceil(threshold * n - 1e-9)) + 1
+            for h in ordered[:p]:
+                w = int(h)
+                grp_c.append(w % cand_salt)
+                word_c.append(w)
+                doc_c.append(d)
+                size_c.append(n)
+        return pa.table({"grp": pa.array(grp_c, pa.int64()),
+                         "word_hash": pa.array(word_c, pa.int64()),
+                         "doc_id": pa.array(doc_c, pa.int64()),
+                         "size": pa.array(size_c, pa.int64())})
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("word_hash", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(grp) < 2:
+                continue
+            docs = grp["doc_id"].to_numpy()
+            sz = grp["size"].to_numpy()
+            i_idx, j_idx = np.triu_indices(len(docs), k=1)
+            keep = (np.minimum(sz[i_idx], sz[j_idx])
+                    >= threshold * np.maximum(sz[i_idx], sz[j_idx]))
+            out_a.extend(docs[i_idx[keep]])
+            out_b.extend(docs[j_idx[keep]])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype=np.int64),
+                             "doc_b": pd.Series(out_b, dtype=np.int64)})
+
+    # candidate pairs, deduped exactly-once by one (doc_a, doc_b) groupby
+    # (a pair surfaces once per shared prefix token — rows are 16 bytes,
+    # the dedup shuffle is cheap; the prefix-blob plan avoids it with the
+    # minimal-common-prefix-token rule instead because there the payload
+    # is the blob)
+    cands = (ds.map_batches(cand_rows, batch_format="pyarrow")
+               .groupby("grp").map_groups(pairs_in_group,
+                                          batch_format="pandas")
+               .groupby(["doc_a", "doc_b"])
+               .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+    # hash-join candidates against the (doc_id, blob) table: explode each
+    # pair to its two doc_ids, union with the blob rows, one groupby(key)
+    # attaches the blob to every pair row of that doc
+    def blob_rows(batch: pa.Table) -> pa.Table:
+        key_c, blob_c = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = _doc_token_hashes(t, ngram)
+            if len(hs) == 0:
+                continue
+            key_c.append(d)
+            blob_c.append(np.sort(hs).tobytes())
+        n = len(key_c)
+        return pa.table({"key": pa.array(key_c, pa.int64()),
+                         "doc_a": pa.array([-1] * n, pa.int64()),
+                         "doc_b": pa.array([-1] * n, pa.int64()),
+                         "blob": pa.array(blob_c, pa.binary())})
+
+    def pair_sides(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table({"key": pa.array(np.r_[a, b], pa.int64()),
+                         "doc_a": pa.array(np.r_[a, a], pa.int64()),
+                         "doc_b": pa.array(np.r_[b, b], pa.int64()),
+                         "blob": pa.array([None] * (2 * n), pa.binary())})
+
+    def attach_blob(g: pd.DataFrame) -> pd.DataFrame:
+        is_blob = g["doc_a"].to_numpy() == -1
+        pairs = g[~is_blob]
+        if not len(pairs) or not is_blob.any():
+            return pairs.iloc[0:0].reset_index(drop=True)
+        blob = g[is_blob]["blob"].iloc[0]
+        out = pairs.copy()
+        out["blob"] = [blob] * len(pairs)
+        return out.reset_index(drop=True)
+
+    sides = (ds.map_batches(blob_rows, batch_format="pyarrow")
+               .union(cands.map_batches(pair_sides, batch_format="pyarrow"))
+               .groupby("key").map_groups(attach_blob, batch_format="pandas"))
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+        if len(g) != 2:          # a side lost its blob (empty doc) — can't
+            return empty         # happen for real candidates; be safe
+        arrs = [np.frombuffer(b, np.int64) for b in g["blob"]]
+        inter = np.intersect1d(arrs[0], arrs[1], assume_unique=True).size
+        union = arrs[0].size + arrs[1].size - inter
+        jac = inter / float(union)
+        if jac < threshold:
+            return empty
+        return pd.DataFrame({
+            "doc_a": pd.Series([g["doc_a"].iloc[0]], dtype=np.int64),
+            "doc_b": pd.Series([g["doc_b"].iloc[0]], dtype=np.int64),
+            # SQL ROUND (half away from zero) — match the prefix-blob
+            # plan and the DuckDB oracle bitwise
+            "jaccard": pd.Series([np.floor(jac * 1e4 + 0.5) / 1e4],
+                                 dtype=np.float64)})
+
+    out = sides.groupby(["doc_a", "doc_b"]).map_groups(
+        verify_pair, batch_format="pandas")
+    pdf = out.to_pandas()
+    return pa.table({"doc_a": pa.array(pdf["doc_a"].to_numpy(), pa.int64()),
+                     "doc_b": pa.array(pdf["doc_b"].to_numpy(), pa.int64()),
+                     "jaccard": pa.array(pdf["jaccard"].to_numpy(),
+                                         pa.float64())})
 
 
 # --------------------------------------------------------------- minhash-lsh
