@@ -97,6 +97,15 @@ def _cmd_index(args: argparse.Namespace) -> int:
         # incremental delta->main refresh (reference `index` real-time
         # update): fold one crawl round's store into the EXISTING
         # bucketed index at --index-dir without rebuilding
+        if args.staged:
+            from aspseek_ray.pipelines.index_products import (
+                update_postings_index_staged)
+
+            r = update_postings_index_staged(
+                args.index_dir, args.pages,
+                fold_threshold=args.fold_threshold)
+            print(json.dumps({"index_dir": args.index_dir, **r}))
+            return 0
         touched = update_postings_index(args.index_dir, args.pages)
         print(json.dumps({"index_dir": args.index_dir,
                           "buckets_rewritten": touched}))
@@ -155,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bucketed raw index dir (build, or target of --update)")
     ix.add_argument("--update", action="store_true",
                     help="incrementally fold --pages into --index-dir")
+    ix.add_argument("--staged", action="store_true",
+                    help="with --update: stage the delta and fold only "
+                         "past --fold-threshold (S7 delta-file model)")
+    ix.add_argument("--fold-threshold", type=float, default=0.1,
+                    help="staged rows / main rows ratio that triggers a fold")
     ix.set_defaults(fn=_cmd_index)
     return p
 

@@ -38,7 +38,7 @@ import ray.data as rd
 
 from aspseek_ray.config import CrawlConfig
 from aspseek_ray.functions.hashing import fnv1a64_arrow
-from aspseek_ray.functions.url import host_of
+from aspseek_ray.functions.url import host_of, host_of_arrow
 from aspseek_ray.sources.pages import BucketLookup, bucket_pages
 from aspseek_ray.stages.discover import parse_discover
 from aspseek_ray.state.shard import CrawlShard, host_shard_bounds, shard_of_hosts
@@ -314,8 +314,7 @@ class Crawler:
         if _seed_count(seeds_path) <= _SEEDS_DRIVER_MAX:
             seeds = pq.read_table(seeds_path)
             urls = seeds["url"]
-            hosts = pa.array([host_of(u) for u in urls.to_pylist()],
-                             pa.string())
+            hosts = host_of_arrow(urls)
             cand = pa.table({
                 "url": urls,
                 "url_hash": pa.array(fnv1a64_arrow(urls)),
@@ -338,8 +337,7 @@ class Crawler:
             submitted = np.zeros(S, dtype=np.int64)
             if batch.num_rows:
                 urls = batch["url"]
-                hosts = pa.array([host_of(u) for u in urls.to_pylist()],
-                                 pa.string())
+                hosts = host_of_arrow(urls)
                 cand = pa.table({
                     "url": urls,
                     "url_hash": pa.array(fnv1a64_arrow(urls)),

@@ -49,6 +49,56 @@ def build_postings(pages_path: str, out_dir: str | None = None,
     (text.stopwords_for; unknown langs fall back to English)."""
     cols = ["url", "text"] + (["lang"] if per_lang_stopwords else [])
     ds = rd.read_parquet(pages_path, columns=cols)
+    return _postings_from_pages(ds, out_dir, drop_stopwords,
+                                per_lang_stopwords)
+
+
+def build_postings_latest(round_dirs: "list[str]", out_dir: str | None = None,
+                          drop_stopwords: bool = True,
+                          per_lang_stopwords: bool = False) -> rd.Dataset:
+    """Full rebuild over a MULTI-ROUND store (round dirs in crawl order):
+    a url refetched in a later round contributes only its latest text —
+    one groupby(url_hash) picks the max-round row per url, then the
+    normal build_postings explode runs over the deduped pages. This is
+    the rebuild-per-round cost model that update_postings_index /
+    delta staging exist to beat; also the compaction story for long
+    append-only runs."""
+    cols = ["url_hash", "url", "text"] + (["lang"] if per_lang_stopwords
+                                          else [])
+    parts = []
+    for i, d in enumerate(round_dirs):
+        ds_i = rd.read_parquet(d, columns=cols)
+
+        def tag(b: pa.Table, rnd=i) -> pa.Table:
+            return b.append_column(
+                "rnd", pa.array(np.full(b.num_rows, rnd, np.int32)))
+
+        parts.append(ds_i.map_batches(tag, batch_format="pyarrow"))
+    pages = parts[0]
+    for p in parts[1:]:
+        pages = pages.union(p)
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("rnd").tail(1)
+                 .drop(columns=["rnd"]).reset_index(drop=True))
+
+    deduped = pages.groupby("url_hash").map_groups(latest,
+                                                   batch_format="pandas")
+
+    def drop_hash(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["url_hash"])
+
+    tmp_ds = deduped.map_batches(drop_hash, batch_format="pyarrow")
+    # reuse build_postings' explode by round-tripping through its reader
+    # contract: it reads (url, text[, lang]) — feed it the deduped Dataset
+    return _postings_from_pages(tmp_ds, out_dir, drop_stopwords,
+                                per_lang_stopwords)
+
+
+def _postings_from_pages(ds: rd.Dataset, out_dir: str | None,
+                         drop_stopwords: bool,
+                         per_lang_stopwords: bool) -> rd.Dataset:
+    """build_postings' explode over an in-flight pages Dataset."""
 
     def explode(batch: pa.Table) -> pa.Table:
         from aspseek_ray.functions.text import stopwords_for
@@ -169,21 +219,7 @@ def update_postings_index(index_dir: str, store_path: str,
 
     Returns the sorted list of bucket ids whose contents changed
     (rewritten + appended)."""
-    import shutil
-    from pathlib import Path
-
-    # crash recovery: a previous run that died mid-swap leaves
-    # .old_bucket=K stashes (and possibly a missing word_bucket=K dir —
-    # the swap is stash -> rename-new -> rm-stash). Restore any stash
-    # whose bucket dir is gone, drop the rest, and clear stale tmp dirs
-    # BEFORE reading the index.
-    for stash in Path(index_dir).glob(".old_bucket=*"):
-        part = Path(index_dir) / stash.name.lstrip(".").replace("old_", "word_")
-        if not part.exists():
-            stash.rename(part)
-        else:
-            shutil.rmtree(stash)
-    shutil.rmtree(Path(index_dir) / ".update_tmp", ignore_errors=True)
+    _recover_index(index_dir)
 
     # per_lang_stopwords must match the existing index's build setting —
     # the delta is built under the same stopword policy
@@ -195,6 +231,37 @@ def update_postings_index(index_dir: str, store_path: str,
     remove = np.unique(np.concatenate(
         [np.asarray(doc_rows, dtype=np.int64),
          np.asarray(list(purge_doc_seqs), dtype=np.int64)]))
+    return _apply_delta(index_dir, delta, remove, broadcast_max_docs)
+
+
+def _recover_index(index_dir: str) -> None:
+    """Crash recovery prologue: a previous update that died mid-swap
+    leaves .old_bucket=K stashes (and possibly a missing word_bucket=K
+    dir — the swap is stash -> rename-new -> rm-stash). Restore any
+    stash whose bucket dir is gone, drop the rest, and clear stale tmp
+    dirs BEFORE reading the index."""
+    import shutil
+    from pathlib import Path
+
+    for stash in Path(index_dir).glob(".old_bucket=*"):
+        part = Path(index_dir) / stash.name.lstrip(".").replace("old_", "word_")
+        if not part.exists():
+            stash.rename(part)
+        else:
+            shutil.rmtree(stash)
+    shutil.rmtree(Path(index_dir) / ".update_tmp", ignore_errors=True)
+
+
+def _apply_delta(index_dir: str, delta: rd.Dataset, remove: np.ndarray,
+                 broadcast_max_docs: int = 2_000_000) -> list[int]:
+    """Core delta->main merge of update_postings_index: remove ``remove``
+    docs' old postings from every bucket, fold ``delta`` rows in (dirty
+    buckets rewritten via atomic swaps, pure-insert buckets appended).
+    ``delta`` must be a MATERIALIZED (word, word_bucket, doc_seq,
+    positions) Dataset; caller runs _recover_index first."""
+    import shutil
+    from pathlib import Path
+
     use_broadcast = remove.size <= broadcast_max_docs
     remove_ref = ray.put(remove) if use_broadcast else None
 
@@ -352,6 +419,178 @@ def update_postings_index(index_dir: str, store_path: str,
                 f.rename(dest / f"delta-{tag}-{f.name}")
         shutil.rmtree(ap_tmp, ignore_errors=True)
     return touched
+
+
+# ------------------------------------------------------- delta staging (S7)
+# The reference's real delta-file model (SURVEY S7, src/deltas.cpp role):
+# small crawl rounds accumulate as STAGED delta segments next to the main
+# index and are folded into it only when the staged volume justifies the
+# bucket rewrites; queries read main + staged segments with latest-wins
+# masking. At real index:round ratios this turns the per-round update cost
+# from O(dirty index buckets) into O(delta) — the fold amortizes.
+
+
+def _staged_round_dirs(index_dir: str) -> "list[Path]":
+    from pathlib import Path
+
+    d = Path(index_dir) / ".deltas"
+    return sorted(d.glob("round-*")) if d.exists() else []
+
+
+def _parquet_rows(files) -> int:
+    """Total row count from parquet footers only (no data read)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+
+
+def stage_delta(index_dir: str, store_path: str,
+                purge_doc_seqs: "list[int] | tuple[int, ...]" = (),
+                per_lang_stopwords: bool = False) -> int:
+    """Stage one round's delta postings WITHOUT touching the main index:
+    build the round's (word, word_bucket, doc_seq, positions) postings
+    into ``index_dir/.deltas/round-NNNNNN/postings`` (same bucketed
+    layout as main) plus its remove-set ``_docs.parquet`` (refreshed +
+    purged doc_seqs). The round dir appears atomically (tmp + rename);
+    a crash mid-stage leaves only an ignored tmp dir. O(round), no main
+    index reads. Returns the staged round number."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    ddir = Path(index_dir) / ".deltas"
+    ddir.mkdir(exist_ok=True)
+    for stale in ddir.glob(".tmp-round-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    existing = _staged_round_dirs(index_dir)
+    n = int(existing[-1].name.split("-")[1]) + 1 if existing else 0
+    tmp = ddir / f".tmp-round-{n:06d}"
+    build_postings(store_path, per_lang_stopwords=per_lang_stopwords
+                   ).write_parquet(str(tmp / "postings"),
+                                   partition_cols=["word_bucket"])
+    docs = rd.read_parquet(str(tmp / "postings"),
+                           columns=["doc_seq"]).unique("doc_seq")
+    arr = np.unique(np.concatenate(
+        [np.asarray(docs, dtype=np.int64),
+         np.asarray(list(purge_doc_seqs), dtype=np.int64)]))
+    pq.write_table(pa.table({"doc_seq": pa.array(arr, pa.int64())}),
+                   tmp / "_docs.parquet")
+    tmp.rename(ddir / f"round-{n:06d}")
+    return n
+
+
+def _mask_docs(ds: rd.Dataset, docs: np.ndarray) -> rd.Dataset:
+    """Drop posting rows whose doc_seq is in ``docs`` (broadcast once
+    via ray.put, vectorized np.isin per batch)."""
+    if docs.size == 0:
+        return ds
+    ref = ray.put(docs)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        sel = ~np.isin(b["doc_seq"].to_numpy(), ray.get(ref))
+        return b.filter(pa.array(sel))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def read_postings_with_deltas(index_dir: str) -> rd.Dataset:
+    """Query-side view of main + staged delta segments with latest-wins
+    semantics: main rows of any staged doc are masked, and each staged
+    round is masked by the rounds after it — bitwise the same postings a
+    fold (or full rebuild) would produce. Remove-sets are bounded by
+    (politeness round budget x staged rounds, capped by the fold
+    threshold), so the masks broadcast via ray.put; the index itself
+    streams."""
+    import pyarrow.parquet as pq
+
+    rounds = _staged_round_dirs(index_dir)
+    if not rounds:
+        return _read_bucketed_postings(index_dir)
+    docs_per_round = [
+        pq.read_table(str(r / "_docs.parquet"))["doc_seq"].to_numpy()
+        for r in rounds]
+    out = _mask_docs(_read_bucketed_postings(index_dir),
+                     np.unique(np.concatenate(docs_per_round)))
+    for i, r in enumerate(rounds):
+        ds_i = _read_bucketed_postings(str(r / "postings"))
+        later = docs_per_round[i + 1:]
+        if later:
+            ds_i = _mask_docs(ds_i, np.unique(np.concatenate(later)))
+        out = out.union(ds_i)
+    return out
+
+
+def fold_deltas(index_dir: str,
+                broadcast_max_docs: int = 2_000_000) -> list[int]:
+    """Fold ALL staged delta segments into the main index in one
+    _apply_delta pass (one dirty-bucket scan + rewrite for the whole
+    batch of rounds, instead of one per round): the combined delta keeps,
+    per doc, only its LATEST staged round's rows; the remove-set is every
+    staged doc (incl. purges). Staging dirs are cleared afterwards —
+    a crash in between re-applies the same final state on re-run
+    (remove-then-add is idempotent). Returns touched bucket ids."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    rounds = _staged_round_dirs(index_dir)
+    if not rounds:
+        return []
+    _recover_index(index_dir)
+    docs_per_round = [
+        pq.read_table(str(r / "_docs.parquet"))["doc_seq"].to_numpy()
+        for r in rounds]
+    remove = np.unique(np.concatenate(docs_per_round))
+
+    parts: "list[rd.Dataset]" = []
+    for i, r in enumerate(rounds):
+        ds_i = _read_bucketed_postings(str(r / "postings"))
+        later = docs_per_round[i + 1:]
+        if later:
+            ds_i = _mask_docs(ds_i, np.unique(np.concatenate(later)))
+        parts.append(ds_i)
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.union(p)
+    touched = _apply_delta(index_dir, delta.materialize(), remove,
+                           broadcast_max_docs)
+    for r in rounds:
+        shutil.rmtree(r, ignore_errors=True)
+    return touched
+
+
+def update_postings_index_staged(
+        index_dir: str, store_path: str,
+        purge_doc_seqs: "list[int] | tuple[int, ...]" = (),
+        fold_threshold: float = 0.1,
+        broadcast_max_docs: int = 2_000_000,
+        per_lang_stopwords: bool = False) -> dict:
+    """The staged flavor of update_postings_index: stage this round's
+    delta (O(round), no index reads), then fold the accumulated segments
+    into main only when staged rows >= ``fold_threshold`` x main rows
+    (both counted from parquet footers — no scan). fold_threshold=0
+    folds every round (equivalent to update_postings_index);
+    fold_threshold=inf never folds (queries go through
+    read_postings_with_deltas). Returns {staged_round, folded, touched,
+    staged_rows, main_rows}."""
+    from pathlib import Path
+
+    rnd = stage_delta(index_dir, store_path, purge_doc_seqs,
+                      per_lang_stopwords)
+    staged_files = [f for r in _staged_round_dirs(index_dir)
+                    for f in sorted((r / "postings").rglob("*.parquet"))]
+    main_files = sorted(Path(index_dir).glob("word_bucket=*/*.parquet"))
+    staged_rows = _parquet_rows(staged_files)
+    main_rows = _parquet_rows(main_files)
+    touched: list[int] = []
+    if staged_rows >= fold_threshold * max(main_rows, 1):
+        touched = fold_deltas(index_dir, broadcast_max_docs)
+    return {"staged_round": rnd, "folded": bool(touched),
+            "touched": touched, "staged_rows": staged_rows,
+            "main_rows": main_rows}
 
 
 def clone_groups(pages_path: str) -> pa.Table:

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from aspseek_ray.functions.hashing import fnv1a64_arrow
 from aspseek_ray.functions.html import extract_links
-from aspseek_ray.functions.url import canonicalize, host_of
+from aspseek_ray.functions.url import canonicalize, host_of_arrow
 
 DISC_SHIFT = 1 << 20
 
@@ -42,7 +42,6 @@ def parse_discover(batch: pa.Table, max_hops: int,
                  else [None] * batch.num_rows)
 
     c_urls: list[str] = []
-    c_hosts: list[str] = []
     c_depths: list[int] = []
     c_seqs: list[int] = []
     best: dict[str, int] = {}  # url -> index into lists (partial dedup, min seq)
@@ -52,7 +51,6 @@ def parse_discover(batch: pa.Table, max_hops: int,
         if j is None:
             best[c] = len(c_urls)
             c_urls.append(c)
-            c_hosts.append(host_of(c))
             c_depths.append(nd)
             c_seqs.append(seq)
         elif seq < c_seqs[j]:
@@ -80,7 +78,7 @@ def parse_discover(batch: pa.Table, max_hops: int,
             add(c, nd, (fseq + 1) * DISC_SHIFT + link_idx)
 
     url_arr = pa.array(c_urls, type=pa.string())
-    host_arr = pa.array(c_hosts, type=pa.string())
+    host_arr = host_of_arrow(url_arr)   # one RE2 sweep, no per-row urlsplit
     return pa.table(
         {
             "url": url_arr,

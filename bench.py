@@ -291,6 +291,41 @@ def run_bench() -> dict:
               f"({len(rounds) - 1} rounds): "
               f"{timings['index_incremental_update']}s", file=sys.stderr)
 
+        # staged flavor (S7 delta-file model, round 5): stage each round
+        # O(round), fold only when staged >= 10% of main — vs the
+        # rebuild-per-round control (build_postings over the cumulative
+        # store each round), the cost model the staging exists to beat.
+        from aspseek_ray.pipelines.index_products import (
+            fold_deltas, update_postings_index_staged)
+
+        idx2 = "/tmp/aspseek_ray_bench/idx_staged"
+        shutil.rmtree(idx2, ignore_errors=True)
+        build_postings(str(rounds[0]), out_dir=idx2)
+        t0 = time.monotonic()
+        for rdir in rounds[1:]:
+            update_postings_index_staged(idx2, str(rdir), fold_threshold=0.1)
+        fold_deltas(idx2)          # leave the index folded (query-ready)
+        timings["index_incremental_update_staged"] = round(
+            time.monotonic() - t0, 3)
+        print(f"[bench] index_incremental_update_staged "
+              f"({len(rounds) - 1} rounds): "
+              f"{timings['index_incremental_update_staged']}s",
+              file=sys.stderr)
+
+        from aspseek_ray.pipelines.index_products import build_postings_latest
+
+        idx3 = "/tmp/aspseek_ray_bench/idx_rebuild"
+        t0 = time.monotonic()
+        for i in range(1, len(rounds)):
+            shutil.rmtree(idx3, ignore_errors=True)
+            # cumulative corpus state at round i, latest fetch wins
+            build_postings_latest([str(r) for r in rounds[:i + 1]],
+                                  out_dir=idx3)
+        timings["index_rebuild_per_round"] = round(time.monotonic() - t0, 3)
+        print(f"[bench] index_rebuild_per_round control "
+              f"({len(rounds) - 1} rebuilds): "
+              f"{timings['index_rebuild_per_round']}s", file=sys.stderr)
+
     ray.shutdown()
     return {
         "metric": "frontier URLs dequeued+fetched/sec (synthetic CC-style corpus, "

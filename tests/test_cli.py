@@ -61,7 +61,8 @@ def test_cli_index_incremental_update(cli_corpus):
     crawl round's store in-place and reports the rewritten buckets."""
     corpus = str(cli_corpus / "corpus")
     run_out = str(cli_corpus / "run")          # store from the crawl test
-    rounds = sorted(os.listdir(f"{run_out}/store"))
+    rounds = sorted(n for n in os.listdir(f"{run_out}/store")
+                if n.startswith("round="))
     assert len(rounds) >= 2
     idx = str(cli_corpus / "idx_inc")
     built = json.loads(_run("index", "--pages", f"{run_out}/store/{rounds[0]}",

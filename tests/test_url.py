@@ -95,3 +95,39 @@ if HAVE_HYP:
     def test_fragment_port_invariance(host, path):
         base = canonicalize(f"http://{host}{path}")
         assert canonicalize(f"http://{host}:80{path}#zzz") == base
+
+
+def test_host_of_arrow_matches_scalar_examples():
+    import pyarrow as pa
+
+    from aspseek_ray.functions.url import host_of, host_of_arrow
+
+    urls = [
+        "http://a.example/",
+        "https://B.EXAMPLE:8443/p?q=1",
+        "http://h:80/",
+        "http://user:pw@h.example/p",          # userinfo -> fallback
+        "http://[::1]:8080/p",                 # IPv6 -> fallback
+        "not-a-url",                           # no scheme -> fallback
+        "http:///rootless",                    # empty authority
+        "ftp://files.example/x",
+        "http://ho st/odd",
+        "",
+    ]
+    got = host_of_arrow(pa.array(urls, pa.string())).to_pylist()
+    assert got == [host_of(u) for u in urls]
+
+
+if HAVE_HYP:
+    @given(host=_hosts, path=_paths,
+           scheme=st.sampled_from(["http", "https", "HTTP"]),
+           port=st.sampled_from(["", ":80", ":8080"]))
+    @settings(max_examples=200, deadline=None)
+    def test_host_of_arrow_property(host, path, scheme, port):
+        import pyarrow as pa
+
+        from aspseek_ray.functions.url import host_of, host_of_arrow
+
+        url = f"{scheme}://{host}{port}{path}"
+        got = host_of_arrow(pa.array([url], pa.string())).to_pylist()
+        assert got == [host_of(url)]
