@@ -19,6 +19,25 @@ import ray
 import ray.data as rd
 
 
+def recall_at_k(approx: pa.Table, exact: pa.Table) -> float:
+    """Fraction of exact (query_id, vec_id) top-k pairs the approximate
+    result recovered — the standard ANN recall@k metric. Both tables use
+    the brute_topk output schema."""
+    a = set(zip(approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()))
+    e = set(zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()))
+    return len(a & e) / max(1, len(e))
+
+
+def pair_recall(approx: pa.Table, exact: pa.Table,
+                cols: tuple[str, str] = ("vec_a", "vec_b")) -> float:
+    """Fraction of exact pairs an approximate pair scan recovered
+    (embedding_near_dup_pairs-shaped tables)."""
+    ca, cb = cols
+    a = set(zip(approx[ca].to_pylist(), approx[cb].to_pylist()))
+    e = set(zip(exact[ca].to_pylist(), exact[cb].to_pylist()))
+    return len(a & e) / max(1, len(e))
+
+
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
@@ -191,12 +210,19 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 77) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
-def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5, n_bits: int = 6) -> pa.Table:
+def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5, n_bits: int = 6,
+             probe_hamming: int = 1) -> pa.Table:
     """LSH-bucketed approximate top-k: vectors are bucketed by the sign
-    pattern of ``n_bits`` random hyperplanes (one shuffle); each query scans
-    only its own bucket + hamming-1 neighbor buckets (multi-probe). Scales
-    as O(n / 2^bits * (bits+1)) score work per query vs O(n) brute force;
-    recall is approximate by design. Output (query_id, vec_id, score)."""
+    pattern of ``n_bits`` random hyperplanes (one shuffle); each query
+    scans its own bucket plus every bucket within hamming distance
+    ``probe_hamming`` (multi-probe — recall rises with the radius, score
+    work grows ~C(bits, r) per extra hamming step; measured recall@k is
+    pinned in tests/test_ann_recall.py). Scales as
+    O(n / 2^bits x probed-buckets) score work per query vs O(n) brute
+    force; recall is approximate by design. Output
+    (query_id, vec_id, score)."""
+    from itertools import combinations
+
     qids, Q = _load_queries(sf_dir, n_queries)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -204,11 +230,14 @@ def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5, n_bits: int = 6) -> pa
     H = _hyperplanes(Q.shape[1], n_bits)
     q_buckets = ((Q @ H.T) > 0).astype(np.int64)
     q_codes = (q_buckets * (1 << np.arange(n_bits))).sum(axis=1)
+    flips = [0]
+    for r in range(1, max(0, probe_hamming) + 1):
+        flips.extend(sum(1 << b for b in bits)
+                     for bits in combinations(range(n_bits), r))
     probe: dict[int, list[int]] = {}
     for qi, code in enumerate(q_codes):
-        codes = [int(code)] + [int(code) ^ (1 << b) for b in range(n_bits)]
-        for c in codes:
-            probe.setdefault(c, []).append(qi)
+        for f in flips:
+            probe.setdefault(int(code) ^ f, []).append(qi)
     probe_ref = ray.put((qids, Q, probe))
     H_ref = ray.put(H)
 
