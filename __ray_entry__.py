@@ -192,6 +192,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merged = index_products.merge_postings(p)
         return merged.select_columns(["word", "df"]).to_pandas()
 
+    def crawl_postings_staged(sf_dir: str):
+        """crawl_postings_df computed through the round-5 delta-staging
+        path (S7 delta-file model): the corpus pages split into 3
+        deterministic chunks — chunk 0 is the initial build, chunks 1-2
+        are STAGED (chunk 2 re-stages some chunk-0 urls: latest-wins
+        with identical text), and the query reads main + staged segments
+        WITHOUT a fold (read_postings_with_deltas). Same oracle SQL as
+        crawl_postings_df: the chunks partition the corpus."""
+        import os
+        import shutil
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aspseek_ray.pipelines.index_products import (
+            read_postings_with_deltas, stage_delta)
+
+        work = "/tmp/aspseek_ray_runs/q_staged_idx"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        t = pq.read_table(f"{corpus_for(sf_dir)}/pages.parquet",
+                          columns=["url", "text"])
+        idx = np.arange(t.num_rows)
+        chunks = [t.take(pa.array(idx[idx % 3 == r])) for r in range(3)]
+        chunks[2] = pa.concat_tables(
+            [chunks[2], chunks[0].slice(0, min(50, chunks[0].num_rows))])
+        paths = []
+        for i, c in enumerate(chunks):
+            p = f"{work}/chunk{i}.parquet"
+            pq.write_table(c, p)
+            paths.append(p)
+        idxd = f"{work}/idx"
+        index_products.build_postings(paths[0], out_dir=idxd)
+        stage_delta(idxd, paths[1])
+        stage_delta(idxd, paths[2])
+        merged = index_products.merge_postings(
+            read_postings_with_deltas(idxd))
+        return merged.select_columns(["word", "df"]).to_pandas()
+
     def crawl_status_stats(sf_dir: str):
         res = _run_crawl(sf_dir, "q_stats")
         return index_products.crawl_status_stats(res.trace_table())
@@ -421,6 +461,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": search.tfidf_search,
         "parsed_search": lambda sf_dir: qparser.search_query(
             sf_dir, 'spark AND (window OR scan) NOT "scan slow"'),
+        # round-5 forced-distributed physical plans, gated by the SAME
+        # oracles as their driver-plan twins (the crawl_search_scaleplan
+        # trick applied to the boolean/parsed family):
+        # driver_max_posting_rows=0 makes every posting fetch take the
+        # distributed bitmask path regardless of size.
+        "boolean_search_distributed": lambda sf_dir:
+            search.boolean_and_search(sf_dir, driver_max_posting_rows=0),
+        "parsed_search_distributed": lambda sf_dir: qparser.search_query(
+            sf_dir, 'spark AND (window OR scan) NOT "scan slow"',
+            driver_max_posting_rows=0),
+        # round-5 long-document Jaccard plan (doc_id-only candidates +
+        # blob-table join), forced on — same oracle as jaccard_pairs
+        "jaccard_pairs_longdoc_plan": lambda sf_dir: dedup.jaccard_pairs(
+            sf_dir, plan="blob-join"),
         "ispell_search": lambda sf_dir: search.ispell_search(
             sf_dir, "scanned", _ISPELL_AFF, _ISPELL_DIC),
         "quality_scores": textstats.quality_scores,
@@ -433,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": crawl_pagerank,
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
+        "crawl_postings_staged": crawl_postings_staged,
         "crawl_postings_multilang": crawl_postings_multilang,
         "crawl_status_stats": crawl_status_stats,
         "crawl_host_stats": crawl_host_stats,
@@ -672,7 +727,7 @@ def oracle_sql() -> dict[str, str]:
 
     _EXCERPT_TERMS_SQL = ("[" + ",".join(f"'{t}'" for t in _vocab()[:3])
                           + "]")
-    return {
+    sql = {
         "crawl_trace": f"""
             SELECT fetch_seq, "round", url, host, depth, discovery_seq, status
             FROM read_parquet('{sim_trace}')
@@ -1494,3 +1549,10 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
     }
+    # round-5 forced-plan twins: same SQL, different physical plan on the
+    # engine side (the plan switch is what the entry exercises)
+    sql["boolean_search_distributed"] = sql["boolean_and_search"]
+    sql["parsed_search_distributed"] = sql["parsed_search"]
+    sql["jaccard_pairs_longdoc_plan"] = sql["jaccard_pairs"]
+    sql["crawl_postings_staged"] = sql["crawl_postings_df"]
+    return sql

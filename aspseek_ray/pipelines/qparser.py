@@ -285,12 +285,16 @@ def _eval(node: Node, pos_of, sets) -> np.ndarray:
     raise QueryError("negation outside an AND group")   # bare Not
 
 
-def search_query(sf_dir: str, q: str) -> pa.Table:
+def search_query(sf_dir: str, q: str,
+                 driver_max_posting_rows: int | None = None) -> pa.Table:
     """Parse ``q`` and run it against the documents postings index: one
     pruned index fetch for all leaf terms, then set algebra — on the
     driver below the posting-row switch, as distributed Dataset bitmask
-    algebra above it (search._ast_plan's dual-plan pattern). Returns
+    algebra above it (search._ast_plan's dual-plan pattern;
+    ``driver_max_posting_rows=0`` forces the distributed plan). Returns
     (doc_id) sorted ascending."""
-    from aspseek_ray.pipelines.search import _ast_plan
+    from aspseek_ray.pipelines.search import DRIVER_MAX_POSTING_ROWS, _ast_plan
 
-    return _ast_plan(sf_dir, parse_query(q))
+    if driver_max_posting_rows is None:
+        driver_max_posting_rows = DRIVER_MAX_POSTING_ROWS
+    return _ast_plan(sf_dir, parse_query(q), driver_max_posting_rows)

@@ -326,6 +326,27 @@ def run_bench() -> dict:
               f"({len(rounds) - 1} rebuilds): "
               f"{timings['index_rebuild_per_round']}s", file=sys.stderr)
 
+        # SMALL-delta regime (the ratio staging exists for — real crawls
+        # fold rounds that are a few percent of the index): one ~3%
+        # delta against the fully-folded index, staged (O(delta), no
+        # index reads) vs folded immediately (per-round dirty-bucket
+        # rewrite). idx2 is query-ready from the staged lane above.
+        import pyarrow.parquet as _pq
+
+        rdir0 = sorted(Path(rounds[1]).glob("*.parquet"))
+        small = _pq.read_table(rdir0[0]).slice(0, 2000)
+        sp = "/tmp/aspseek_ray_bench/small_delta.parquet"
+        _pq.write_table(small, sp)
+        t0 = time.monotonic()
+        update_postings_index_staged(idx2, sp, fold_threshold=10.0)
+        timings["index_small_delta_staged"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        update_postings_index(idx, sp)
+        timings["index_small_delta_folded"] = round(time.monotonic() - t0, 3)
+        print(f"[bench] small-delta (2000 docs vs full index): staged "
+              f"{timings['index_small_delta_staged']}s vs per-round fold "
+              f"{timings['index_small_delta_folded']}s", file=sys.stderr)
+
     ray.shutdown()
     return {
         "metric": "frontier URLs dequeued+fetched/sec (synthetic CC-style corpus, "
