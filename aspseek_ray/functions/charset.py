@@ -40,12 +40,27 @@ _META_CHARSET_RE = re.compile(
     rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I)
 
 # charset aliases the codecs module doesn't know under their web names
+# (incl. the legacy CJK labels the reference ships tables for — the
+# recode itself is the stdlib codec, SURVEY O7 etc/charsets/ role)
 _ALIASES = {
     "windows-1251": "cp1251",
     "windows-1252": "cp1252",
     "win-1251": "cp1251",
     "x-sjis": "shift_jis",
     "unicode": "utf-16",
+    # Japanese
+    "x-euc-jp": "euc_jp",
+    "shift-jis-2004": "shift_jis_2004",
+    # Korean: the WHATWG encoding standard maps euc-kr family labels to
+    # the windows superset cp949
+    "ks_c_5601-1987": "cp949",
+    "ksc5601": "cp949",
+    "x-windows-949": "cp949",
+    # Chinese
+    "gb_2312-80": "gb2312",
+    "x-gbk": "gbk",
+    "big-5": "big5",
+    "cn-big5": "big5",
 }
 
 

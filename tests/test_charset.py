@@ -133,3 +133,54 @@ def test_sniff_window_truncation_keeps_utf8():
     pad = b"a" * 2047
     body = pad + "я".encode("utf-8") + ("я" * 50).encode("utf-8")
     assert detect_charset(None, body) == "utf-8"
+
+
+# ---- CJK recode vectors (round 5; SURVEY O7 etc/charsets/ table set —
+# recode itself is the stdlib codec, detection honors the legacy web
+# labels via the alias map)
+
+CJK_SAMPLES = [
+    # (web label, codec it must resolve to, sample text)
+    ("shift_jis", "shift_jis", "日本語のテキストです。検索エンジン。"),
+    ("x-sjis", "shift_jis", "漢字とかなの混在行。"),
+    ("euc-jp", "euc_jp", "インデックス構築。"),
+    ("x-euc-jp", "euc_jp", "形態素解析は未対応。"),
+    ("gb2312", "gb2312", "中文测试文本。搜索引擎。"),
+    ("x-gbk", "gbk", "简体中文网页内容。"),
+    ("big5", "big5", "繁體中文測試。"),
+    ("cn-big5", "big5", "檢索系統。"),
+    ("ks_c_5601-1987", "cp949", "한국어 텍스트입니다."),
+    ("euc-kr", "euc_kr", "검색 엔진 색인."),
+    ("iso-2022-jp", "iso2022_jp", "メールでよく使う符号化。"),
+]
+
+
+def test_cjk_content_type_labels_resolve_and_roundtrip():
+    from aspseek_ray.functions.charset import decode_html, detect_charset
+
+    for label, codec, text in CJK_SAMPLES:
+        body = f"<html><body>{text}</body></html>".encode(codec)
+        got = detect_charset(f"text/html; charset={label}", body)
+        assert got == __import__("codecs").lookup(codec).name, (label, got)
+        assert text in decode_html(body, f"text/html; charset={label}")
+
+
+def test_cjk_meta_tag_labels_roundtrip():
+    from aspseek_ray.functions.charset import decode_html
+
+    for label, codec, text in CJK_SAMPLES:
+        if codec == "iso2022_jp":
+            continue    # ESC sequences inside HTML attrs are not a
+                        # realistic meta-labeled body
+        body = (f'<html><head><meta charset="{label}"></head>'
+                f"<body>{text}</body></html>").encode(codec)
+        assert text in decode_html(body)
+
+
+def test_cjk_unlabeled_falls_back_to_utf8_replacement():
+    # the n-gram guesser is trained on cyrillic/latin only — unlabeled
+    # CJK must ABSTAIN (no misdetection) and decode as utf-8/replace
+    from aspseek_ray.functions.charset import detect_charset
+
+    body = "日本語のテキストです。".encode("shift_jis") * 40
+    assert detect_charset(None, body) == "utf-8"
