@@ -8,6 +8,8 @@ multi-node clusters"):
     python -m aspseek_ray crawl-search --store /data/run1/store \
         --pages /data/corpus/pages.parquet 'foo bar' --per-site 2
     python -m aspseek_ray index --pages /data/corpus/pages.parquet --out /data/idx
+    python -m aspseek_ray searchd --store /data/run1/store \
+        --pages /data/corpus/pages.parquet --port 7003 --stored-port 7004
 
 `crawl --resume` restarts from the latest per-partition checkpoint
 (LATEST.json manifest), mirroring re-running the reference's `index`
@@ -121,6 +123,38 @@ def _cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_searchd(args: argparse.Namespace) -> int:
+    """Run the search daemon (SURVEY §3.2) — and optionally the stored
+    daemon — until interrupted; prints the bound address(es) as JSON so a
+    front-end (s.cgi, tests) can connect to an ephemeral port."""
+    import threading
+
+    from aspseek_ray.daemon import SearchdServer, StoredServer
+
+    _ensure_ray(args.ray_address)
+    srv = SearchdServer(args.store, args.pages,
+                        max_results=args.max_results,
+                        host=args.host, port=args.port)
+    host, port = srv.start()
+    out = {"searchd": {"host": host, "port": port}}
+    stored = None
+    if args.stored_port is not None:
+        stored = StoredServer(args.store, host=args.host,
+                              port=args.stored_port)
+        shost, sport = stored.start()
+        out["stored"] = {"host": shost, "port": sport}
+    print(json.dumps(out), flush=True)
+    try:
+        threading.Event().wait()        # serve until SIGINT
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        if stored is not None:
+            stored.stop()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="aspseek_ray")
     p.add_argument("--ray-address", default=None, metavar="ADDR",
@@ -170,6 +204,19 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--fold-threshold", type=float, default=0.1,
                     help="staged rows / main rows ratio that triggers a fold")
     ix.set_defaults(fn=_cmd_index)
+
+    sd = sub.add_parser("searchd",
+                        help="serve queries over TCP (searchd role)")
+    sd.add_argument("--store", required=True)
+    sd.add_argument("--pages", required=True)
+    sd.add_argument("--host", default="127.0.0.1")
+    sd.add_argument("--port", type=int, default=0,
+                    help="0 = pick a free port (printed on stdout)")
+    sd.add_argument("--max-results", type=int, default=1000)
+    sd.add_argument("--stored-port", type=int, default=None,
+                    help="also serve the stored daemon on this port "
+                         "(0 = free port)")
+    sd.set_defaults(fn=_cmd_searchd)
     return p
 
 

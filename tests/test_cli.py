@@ -74,3 +74,50 @@ def test_cli_index_incremental_update(cli_corpus):
     assert upd["buckets_rewritten"]
     for k in upd["buckets_rewritten"]:
         assert os.path.isdir(f"{idx}/word_bucket={k}")
+
+
+def test_cli_searchd_daemon(cli_corpus):
+    """`searchd` serves the crawl test's store over TCP (plus the stored
+    daemon): queries through the socket return ranked results, and the
+    stored GET round-trips a body."""
+    import collections
+    import glob
+
+    import pyarrow.parquet as pq
+
+    corpus = str(cli_corpus / "corpus")
+    run_out = str(cli_corpus / "run")          # store from the crawl test
+    # most common stored token = a query guaranteed to match
+    texts = pq.read_table(sorted(glob.glob(f"{run_out}/store/**/*.parquet",
+                                           recursive=True))[0],
+                          columns=["text"])["text"].to_pylist()
+    term = collections.Counter(
+        w for t in texts for w in t.split() if w.isalpha()).most_common(1)[0][0]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "aspseek_ray", "searchd",
+         "--store", f"{run_out}/store", "--pages", f"{corpus}/pages.parquet",
+         "--port", "0", "--stored-port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=REPO)
+    try:
+        line = proc.stdout.readline()
+        addrs = json.loads(line)
+        from aspseek_ray.daemon import SearchdClient, StoredClient
+
+        with SearchdClient(addrs["searchd"]["host"],
+                           addrs["searchd"]["port"], timeout=300) as c:
+            got = c.search(term, page=0, page_size=5)
+            assert got["total"] > 0 and got["results"]
+            assert got["results"][0]["url"].startswith("http")
+            url = got["results"][0]["url"]
+        with StoredClient(addrs["stored"]["host"],
+                          addrs["stored"]["port"], timeout=300) as sc:
+            body = sc.get(url)
+            assert isinstance(body, str) and body
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
