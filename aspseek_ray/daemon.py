@@ -116,6 +116,35 @@ class _Reader:
 
 # ---------------------------------------------------------------- searchd
 
+def _pin_fsspec_http_stub() -> None:
+    """Make concurrent queries safe against a Ray lazy-import race.
+
+    Every ``ray.data.read_parquet`` calls ``_is_http_filesystem``, which
+    does ``from fsspec.implementations.http import HTTPFileSystem``
+    guarded by ``except ModuleNotFoundError``.  Without aiohttp that
+    import always fails — fine single-threaded, but when two handler
+    threads hit the failing import at once, the second can observe the
+    partially-torn-down module and get a plain ``ImportError`` (not a
+    ModuleNotFoundError), which escapes Ray's guard and kills one query.
+    Pin a stub module exposing a sentinel ``HTTPFileSystem`` class so the
+    import is a deterministic no-op; the class is only ever used in
+    ``isinstance`` checks against real filesystems, which no local
+    pipeline constructs."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return                                # real module importable
+    except ImportError:
+        pass
+    import fsspec.implementations  # noqa: F401
+
+    mod = types.ModuleType("fsspec.implementations.http")
+    mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 class _BaseServer:
     """start()/stop() plumbing shared by searchd and stored."""
 
@@ -160,6 +189,7 @@ class SearchdServer(_BaseServer):
                  excerpt_width: int = 40,
                  host: str = "127.0.0.1", port: int = 0):
         super().__init__(host, port)
+        _pin_fsspec_http_stub()
         from aspseek_ray.pipelines.search import (QueryCache,
                                                   ranked_crawl_search)
 
@@ -173,8 +203,11 @@ class SearchdServer(_BaseServer):
                 per_site=per_site or None, query=query,
                 excerpt_width=excerpt_width)
 
-        self.cache = QueryCache(run_query, maxsize=cache_size)
-        self._lock = threading.Lock()   # one pipeline run per query at a time
+        # thread_safe: per-connection handler threads share the cache;
+        # identical concurrent queries dedupe to one pipeline run,
+        # distinct queries run their pipelines in parallel
+        self.cache = QueryCache(run_query, maxsize=cache_size,
+                                thread_safe=True)
 
     # -- request handlers ------------------------------------------------
 
@@ -190,8 +223,7 @@ class SearchdServer(_BaseServer):
         if page_size == 0:
             return ST_BAD_REQUEST, _pack_str("page_size must be > 0")
         try:
-            with self._lock:
-                result = self.cache(query, per_site)
+            result = self.cache(query, per_site)
         except QueryError as e:
             return ST_QUERY_ERROR, _pack_str(str(e))
         except Exception as e:          # keep the connection serviceable

@@ -225,21 +225,87 @@ def test_scgi_custom_template_sections():
 
 
 def test_concurrent_clients(searchd):
+    """Mixed concurrent load: identical queries dedupe to one pipeline
+    run (in-flight registry), distinct queries run in parallel, and no
+    thread trips Ray's fsspec lazy-import race (_pin_fsspec_http_stub)."""
     import threading
 
     from aspseek_ray.daemon import SearchdClient
 
-    _, host, port = searchd
-    out: list[int] = []
+    srv, host, port = searchd
+    before = srv.cache.misses
+    out: dict[int, int] = {}
 
-    def worker():
+    def worker(i, q):
         with SearchdClient(host, port) as c:
-            out.append(c.search("foo OR bar", page=0,
-                                page_size=10)["total"])
+            out[i] = c.search(q, page=0, page_size=10)["total"]
 
-    threads = [threading.Thread(target=worker) for _ in range(4)]
+    qs = ["foo OR bar", "foo OR bar", "foo OR bar", "bar"]
+    threads = [threading.Thread(target=worker, args=(i, q))
+               for i, q in enumerate(qs)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    assert out == [4, 4, 4, 4]
+    assert [out[i] for i in range(4)] == [4, 4, 4, 2]
+    # 2 distinct fresh queries -> exactly 2 pipeline runs
+    assert srv.cache.misses == before + 2
+
+
+def test_querycache_thread_safe_dedupes_inflight():
+    """thread_safe mode: concurrent IDENTICAL keys run the wrapped fn
+    once (late arrivals wait and count as hits); DISTINCT keys run in
+    parallel; errors don't wedge waiters."""
+    import threading
+    import time
+
+    from aspseek_ray.pipelines.search import QueryCache
+
+    calls: list[tuple] = []
+    gate = threading.Event()
+
+    def slow(q, g):
+        calls.append((q, g))
+        gate.wait(5)
+        if q == "boom":
+            raise ValueError("boom")
+        return f"{q}/{g}"
+
+    qc = QueryCache(slow, maxsize=8, thread_safe=True)
+    results: dict[int, object] = {}
+
+    def worker(i, q):
+        try:
+            results[i] = qc(q, 0)
+        except ValueError as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i, q))
+               for i, q in enumerate(["a", "a", "a", "b"])]
+    for t in threads:
+        t.start()
+    time.sleep(0.3)                  # everyone reaches the gate / waits
+    # distinct keys run concurrently; identical ones deduped to one run
+    assert sorted(calls) == [("a", 0), ("b", 0)]
+    gate.set()
+    for t in threads:
+        t.join()
+    assert results[0] == results[1] == results[2] == "a/0"
+    assert results[3] == "b/0"
+    assert qc.misses == 2 and qc.hits == 2
+
+    # an erroring run releases its waiters (they retry, then raise too)
+    errs: dict[int, object] = {}
+
+    def eworker(i):
+        try:
+            errs[i] = qc("boom", 0)
+        except ValueError as e:
+            errs[i] = e
+
+    et = [threading.Thread(target=eworker, args=(i,)) for i in range(2)]
+    for t in et:
+        t.start()
+    for t in et:
+        t.join(10)
+    assert all(isinstance(v, ValueError) for v in errs.values())
