@@ -80,11 +80,17 @@ def parse_params(query_string: str) -> dict:
     def one(name: str, default: str) -> str:
         return qs.get(name, [default])[0]
 
+    def num(name: str, default: int, floor: int) -> int:
+        try:
+            return max(floor, int(one(name, str(default)) or default))
+        except ValueError:      # junk CGI input falls back to the default
+            return default
+
     return {
         "q": one("q", ""),
-        "np": max(0, int(one("np", "0") or 0)),
-        "ps": max(1, int(one("ps", "10") or 10)),
-        "gr": max(0, int(one("gr", "0") or 0)),
+        "np": num("np", 0, 0),
+        "ps": num("ps", 10, 1),
+        "gr": num("gr", 0, 0),
     }
 
 

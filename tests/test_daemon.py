@@ -309,3 +309,11 @@ def test_querycache_thread_safe_dedupes_inflight():
     for t in et:
         t.join(10)
     assert all(isinstance(v, ValueError) for v in errs.values())
+
+
+def test_scgi_param_junk_falls_back():
+    from aspseek_ray.scgi import parse_params
+
+    p = parse_params("q=x&np=abc&ps=-5&gr=")
+    assert p == {"q": "x", "np": 0, "ps": 1, "gr": 0}
+    assert parse_params("")["ps"] == 10
