@@ -127,6 +127,24 @@ def _media_parquet() -> str:
     return str(out)
 
 
+def _png_media_parquet() -> str:
+    """Oracle input for the PNG pixel-stats query: PNG payloads (engine
+    side) plus a BMP twin of the same pixels (oracle side) — the SQL
+    decodes the BMP bytes, the engine decodes the PNG, and agreement
+    checks the PNG codec against an independent decoder."""
+    import pyarrow.parquet as pq
+
+    out = Path(f"/tmp/aspseek_ray_oracle/{_CORPUS_VERSION}/media_png.parquet")
+    if not out.exists():
+        from aspseek_ray.pipelines.multimodal import synth_png_media_table
+
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(".parquet.tmp")
+        pq.write_table(synth_png_media_table(96), tmp)
+        tmp.rename(out)
+    return str(out)
+
+
 def _run_crawl(sf_dir: str, out_name: str):
     import shutil
 
@@ -414,6 +432,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_frame_luma(ds).to_pandas()
 
+    def multimodal_png_pixel_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check: the engine decodes real
+        # PNG payloads (stdlib-zlib DEFLATE + all five scanline filters,
+        # gray/RGB/RGBA); the SQL oracle re-decodes a BMP twin of the
+        # same pixels byte-by-byte. Exact int64 byte sums must agree.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_pixel_stats
+
+        ds = rd.read_parquet(_png_media_parquet(),
+                             columns=["media_id", "media_type", "payload"])
+        return media_pixel_stats(ds).to_pandas()
+
     def multimodal_frames(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             sample_frames,
@@ -522,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "multimodal_features": multimodal_features,
         "multimodal_pixel_stats": multimodal_pixel_stats,
+        "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
@@ -1322,6 +1354,37 @@ def oracle_sql() -> dict[str, str]:
         # BGR rows, padding stripped): an independent check of the
         # functions/media.py codec, exact because both sides divide
         # int64 byte sums. Rows are BGR, so channel k%3==2 is red.
+        # PNG engine path vs BMP-twin SQL decode: same pixel bytes through
+        # two independent codecs (engine: zlib inflate + unfilter; oracle:
+        # plain BMP hex extraction) must produce identical integer sums.
+        "multimodal_png_pixel_stats": f"""
+            WITH imgs AS (
+              SELECT media_id, lower(hex(payload_bmp)) AS hx
+              FROM read_parquet('{_png_media_parquet()}')
+              WHERE media_type = 'image'),
+            hdr AS (
+              SELECT media_id, hx,
+                     {_byte_sql("10")} + 256 * {_byte_sql("11")}
+                       + 65536 * {_byte_sql("12")}
+                       + 16777216 * {_byte_sql("13")} AS off,
+                     {_byte_sql("18")} + 256 * {_byte_sql("19")} AS w,
+                     {_byte_sql("22")} + 256 * {_byte_sql("23")} AS h
+              FROM imgs),
+            strided AS (
+              SELECT media_id, hx, off, w, h,
+                     ((w * 3 + 3) // 4) * 4 AS stride
+              FROM hdr),
+            px AS (
+              SELECT media_id, w, h, (pos % stride) % 3 AS ch,
+                     {_byte_sql("off + pos")} AS v
+              FROM strided, unnest(range(0, stride * h)) AS t(pos)
+              WHERE (pos % stride) < w * 3)
+            SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+                   (sum(v) FILTER (ch = 2))::DOUBLE / (w * h) AS mean_r,
+                   (sum(v) FILTER (ch = 1))::DOUBLE / (w * h) AS mean_g,
+                   (sum(v) FILTER (ch = 0))::DOUBLE / (w * h) AS mean_b
+            FROM px GROUP BY media_id, w, h
+        """,
         "multimodal_pixel_stats": f"""
             WITH imgs AS (
               SELECT media_id, lower(hex(payload)) AS hx

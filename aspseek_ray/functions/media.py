@@ -2,10 +2,14 @@
 decode kernels behind pipelines/multimodal.py (SURVEY: multimodal decode /
 resize / frame-sample stages).
 
-This container ships no PIL/ffmpeg/librosa, so compressed codecs
-(JPEG/PNG/MP3/H.264) remain an explicit NotImplementedError seam — but the
-uncompressed container formats are simple, fully documented public specs
-and are implemented here for real:
+This container ships no PIL/ffmpeg/librosa, so the transform-coded
+codecs (JPEG/MP3/H.264) remain an explicit NotImplementedError seam — but
+the formats whose only moving parts are DEFLATE (stdlib zlib) or none at
+all are fully documented public specs and are implemented here for real:
+
+* **PNG** (8-bit gray/RGB/RGBA, non-interlaced, all five scanline
+  filters, chunk CRCs verified) — DEFLATE via stdlib ``zlib``, filters
+  in numpy; a real compressed image codec with no external deps.
 
 * **BMP** (Windows BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up rows,
   4-byte row padding) — the canonical uncompressed image interchange.
@@ -26,6 +30,7 @@ import numpy as np
 __all__ = [
     "bmp_encode", "bmp_decode", "wav_encode", "wav_decode",
     "y4m_encode", "y4m_decode", "resize_nearest",
+    "png_encode", "png_decode", "decode_image",
 ]
 
 
@@ -171,3 +176,174 @@ def y4m_decode(data: bytes) -> tuple[np.ndarray, int]:
         frames.append(plane.reshape(3, h, w).transpose(1, 2, 0))
         pos = start + frame_bytes
     return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8), fps
+
+
+# --------------------------------------------------------------------- PNG
+# PNG (ISO/IEC 15948) IS implementable without PIL: the only compression
+# is DEFLATE, which the stdlib `zlib` provides, and the five scanline
+# filters are small integer recurrences. Supported profile: bit depth 8,
+# color types 0 (gray) / 2 (RGB) / 6 (RGBA), non-interlaced — the profile
+# virtually all machine-generated web PNGs use. Palette (3), 16-bit and
+# Adam7 interlace raise NotImplementedError (honest seams, like the other
+# codecs' unsupported variants).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4) over int16/int32 arrays."""
+    p = a + b - c
+    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                    np.where(pb_ <= pc_, b, c))
+
+
+def png_encode(img: np.ndarray, filter_type: int | None = None) -> bytes:
+    """uint8 image -> PNG bytes. (h, w) -> gray, (h, w, 3) -> RGB,
+    (h, w, 4) -> RGBA, always bit depth 8, non-interlaced.
+
+    ``filter_type``: fix one scanline filter 0-4, or None (default) to
+    cycle ``row % 5`` — deterministic, spec-legal, and it exercises every
+    filter path in any decoder reading the output."""
+    import zlib
+
+    if img.dtype != np.uint8:
+        raise ValueError("png_encode expects uint8")
+    if img.ndim == 2:
+        color, ch = 0, 1
+        img = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, ch = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError("png_encode expects (h,w), (h,w,3) or (h,w,4)")
+    h, w = img.shape[:2]
+    raw = img.reshape(h, w * ch)
+    prior = np.zeros(w * ch, np.uint8)
+    left = np.zeros_like(raw[0])
+    out = bytearray()
+    for r in range(h):
+        row = raw[r]
+        ft = (r % 5) if filter_type is None else filter_type
+        left[:ch] = 0
+        left[ch:] = row[:-ch]
+        if ft == 0:
+            flt = row
+        elif ft == 1:                       # Sub
+            flt = row - left                # uint8 wraps mod 256 per spec
+        elif ft == 2:                       # Up
+            flt = row - prior
+        elif ft == 3:                       # Average
+            avg = (left.astype(np.int16) + prior.astype(np.int16)) >> 1
+            flt = row - avg.astype(np.uint8)
+        elif ft == 4:                       # Paeth
+            upleft = np.zeros_like(prior)
+            upleft[ch:] = prior[:-ch]
+            pred = _paeth(left.astype(np.int16), prior.astype(np.int16),
+                          upleft.astype(np.int16))
+            flt = row - pred.astype(np.uint8)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out.append(ft)
+        out += flt.tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (h, w) for gray, (h, w, 3) RGB,
+    (h, w, 4) RGBA. Verifies every chunk CRC; concatenates multiple
+    IDATs; unfilters all five scanline filters."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        length = struct.unpack_from(">I", data, pos)[0]
+        tag = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + length]
+        crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("bad IHDR compression/filter method")
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNGs supported "
+            f"(depth={depth} color={color} interlace={interlace})")
+    ch = _PNG_CHANNELS[color]
+    rb = w * ch                              # bytes per scanline
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (rb + 1):
+        raise ValueError("PNG decompressed size mismatch")
+    raw = raw.reshape(h, rb + 1)
+    out = np.empty((h, rb), np.uint8)
+    prior = np.zeros(rb, np.int32)
+    for r in range(h):
+        ft = int(raw[r, 0])
+        flt = raw[r, 1:].astype(np.int32)
+        if ft == 0:
+            rec = flt
+        elif ft == 1:                       # Sub: per-channel prefix sum
+            rec = flt.reshape(w, ch).cumsum(axis=0).reshape(rb) & 0xFF
+        elif ft == 2:                       # Up
+            rec = (flt + prior) & 0xFF
+        elif ft == 3:                       # Average: sequential in x
+            rec = flt.copy()
+            rec[:ch] = (flt[:ch] + (prior[:ch] >> 1)) & 0xFF
+            for x in range(ch, rb, ch):
+                rec[x:x + ch] = (flt[x:x + ch]
+                                 + ((rec[x - ch:x] + prior[x:x + ch]) >> 1)
+                                 ) & 0xFF
+        elif ft == 4:                       # Paeth: sequential in x
+            rec = flt.copy()
+            up = prior
+            rec[:ch] = (flt[:ch] + up[:ch]) & 0xFF   # a=c=0 -> pred=b
+            for x in range(ch, rb, ch):
+                pred = _paeth(rec[x - ch:x], up[x:x + ch], up[x - ch:x])
+                rec[x:x + ch] = (flt[x:x + ch] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec
+        prior = rec.astype(np.int32)
+    if ch == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff + decode an image payload (BMP or PNG) to (h, w, 3) uint8
+    RGB: gray is replicated across channels, RGBA drops alpha — the
+    normalized shape every image stage downstream consumes."""
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    if payload[:8] == _PNG_SIG:
+        img = png_decode(payload)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return np.ascontiguousarray(img[:, :, :3])
+    raise NotImplementedError(
+        "unknown image container (JPEG/GIF/... need PIL, not present)")

@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as ``binary`` payload columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-Since round 4 the decode kernels are REAL for the uncompressed public
-container formats (functions/media.py, pure numpy): BMP images, PCM16 WAV
-audio, and YUV4MPEG2 (Y4M C444) video. Payloads are sniffed by magic
-bytes; COMPRESSED formats (JPEG/PNG/MP3/H.264...) still raise
-NotImplementedError — that seam is where PIL/ffmpeg would plug in, and
-those libraries are not in this container. The synthetic media generator
-emits real BMP/WAV/Y4M bytes any external tool could open.
+The decode kernels are REAL (functions/media.py, pure numpy + stdlib
+zlib): BMP and PNG images (PNG: 8-bit gray/RGB/RGBA, all five scanline
+filters, CRC-verified), PCM16 WAV audio, and YUV4MPEG2 (Y4M C444) video.
+Payloads are sniffed by magic bytes; transform-coded formats
+(JPEG/MP3/H.264...) still raise NotImplementedError — that seam is where
+PIL/ffmpeg would plug in, and those libraries are not in this container.
+The synthetic media generators emit real bytes any external tool could
+open.
 
 At 100-TB scale: payloads dominate block size — keep ``batch_size`` small
 (64–256 rows), ``concurrency`` sized to the node, and never carry the
@@ -23,6 +24,8 @@ import ray.data as rd
 from aspseek_ray.functions.media import (
     bmp_decode,
     bmp_encode,
+    decode_image,
+    png_encode,
     resize_nearest,
     wav_decode,
     wav_encode,
@@ -44,12 +47,14 @@ FEATURE_DIM = 8
 def _sniff(payload: bytes) -> str:
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     raise NotImplementedError(
-        "compressed/unknown media container (JPEG/PNG/MP3/H.264...) — "
+        "transform-coded/unknown media container (JPEG/MP3/H.264...) — "
         "decoding these requires PIL/ffmpeg, not present in this container")
 
 
@@ -70,8 +75,8 @@ class DecodeStage:
     def _features(self, payload: bytes) -> np.ndarray:
         kind = _sniff(payload)
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
-        if kind == "bmp":
-            img = bmp_decode(payload).astype(np.float32)
+        if kind in ("bmp", "png"):
+            img = decode_image(payload).astype(np.float32)
             h, w = img.shape[:2]
             luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
             f[:7] = [w, h, img[..., 0].mean(), img[..., 1].mean(),
@@ -115,9 +120,10 @@ def extract_media_features(ds: rd.Dataset, concurrency: int = 2,
 
 
 class ResizeStage:
-    """Actor-pool image-resize stage: REAL BMP decode -> nearest-neighbor
-    resize (aspect preserved, longest side <= max_side) -> BMP re-encode.
-    Keeps only image rows; output (media_id, out_w, out_h, payload)."""
+    """Actor-pool image-resize stage: REAL decode (BMP or PNG) ->
+    nearest-neighbor resize (aspect preserved, longest side <= max_side)
+    -> re-encode in the source container. Keeps only image rows; output
+    (media_id, out_w, out_h, payload)."""
 
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
@@ -128,14 +134,16 @@ class ResizeStage:
         ids, ws, hs, payloads = [], [], [], []
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
-            img = bmp_decode(p or b"")
+            p = p or b""
+            img = decode_image(p)
             h, w = img.shape[:2]
             scale = min(1.0, self.max_side / max(w, h, 1))
             ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
             ids.append(mid)
             ws.append(ow)
             hs.append(oh)
-            payloads.append(bmp_encode(resize_nearest(img, ow, oh)))
+            enc = png_encode if _sniff(p) == "png" else bmp_encode
+            payloads.append(enc(resize_nearest(img, ow, oh)))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "out_w": pa.array(ws, pa.int32()),
                          "out_h": pa.array(hs, pa.int32()),
@@ -206,7 +214,8 @@ class PixelStatsStage:
     """Actor-pool image pixel statistics in EXACT arithmetic: per-channel
     means from int64 byte sums (one float64 division at the end), so the
     result is bit-reproducible and can be checked by a SQL oracle that
-    extracts the same BMP bytes. Keeps only image rows; output
+    extracts the same BMP bytes (for PNG payloads, a BMP twin of the same
+    pixels — an independent-codec check). Keeps only image rows; output
     (media_id, width, height, mean_r, mean_g, mean_b)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -216,7 +225,7 @@ class PixelStatsStage:
         mr, mg, mb = [], [], []
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
-            img = bmp_decode(p or b"")
+            img = decode_image(p or b"")
             h, w = img.shape[:2]
             s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
             n = h * w
@@ -365,3 +374,38 @@ def synth_media_table(n: int = 256, seed: int = 9) -> pa.Table:
 
 def synth_media_dataset(n: int = 256, seed: int = 9) -> rd.Dataset:
     return rd.from_arrow(synth_media_table(n, seed))
+
+
+def synth_png_media_table(n: int = 96, seed: int = 11) -> pa.Table:
+    """Deterministic PNG image table with a BMP TWIN column: ``payload``
+    is real PNG bytes (cycling gray / RGB / RGBA color types, the
+    encoder's row%5 filter cycle exercising every scanline filter) and
+    ``payload_bmp`` is the SAME pixels as 24-bit BMP (gray replicated,
+    alpha dropped). The engine decodes the PNG; the SQL oracle re-decodes
+    the BMP twin byte-by-byte — two independent codecs must agree on the
+    exact per-channel integer sums for the query to pass."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, pngs, bmps, metas = [], [], [], []
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        kind = ("gray", "rgb", "rgba")[i % 3]
+        if kind == "gray":
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+        elif kind == "rgb":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rgb = img
+        else:
+            img = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+            rgb = np.ascontiguousarray(img[:, :, :3])
+        ids.append(i)
+        pngs.append(png_encode(img))
+        bmps.append(bmp_encode(rgb))
+        metas.append({"width": w, "height": h, "duration_ms": 0})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(pngs, pa.binary()),
+        "payload_bmp": pa.array(bmps, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })

@@ -194,3 +194,155 @@ def test_frame_luma_exact(ray_session):
         for fi in range(n):
             assert g.loc[fi, "mean_y"] == (
                 frames[fi, :, :, 0].astype(np.int64).sum() / (h * w))
+
+
+# ---------------------------------------------------------------- PNG codec
+def _png_rng():
+    return np.random.Generator(np.random.PCG64(21))
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    from aspseek_ray.functions.media import png_decode, png_encode
+
+    rng = _png_rng()
+    for shape in [(11, 7), (11, 7, 3), (11, 7, 4), (1, 1, 3), (6, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (None, 0, 1, 2, 3, 4):      # None = row%5 cycle
+            back = png_decode(png_encode(img, ft))
+            assert back.dtype == np.uint8 and back.shape == img.shape
+            assert (back == img).all(), (shape, ft)
+
+
+def test_png_spec_details():
+    """Signature, IHDR layout, chunk CRCs, and multi-IDAT streams per
+    ISO/IEC 15948."""
+    import struct
+    import zlib
+
+    from aspseek_ray.functions.media import png_decode, png_encode
+
+    img = _png_rng().integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    data = png_encode(img, 0)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR is the first chunk: 13-byte body, big-endian w/h, depth 8,
+    # color type 2 (truecolor), no interlace
+    assert struct.unpack_from(">I", data, 8)[0] == 13
+    assert data[12:16] == b"IHDR"
+    w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB",
+                                                          data[16:29])
+    assert (w, h, depth, color, comp, filt, inter) == (13, 9, 8, 2, 0, 0, 0)
+    # a flipped payload byte must fail the CRC check
+    bad = bytearray(data)
+    bad[45] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+    # the zlib stream may arrive split across several IDAT chunks
+    pos, idat = 8, b""
+    pre, post = data[:33], b""
+    while pos + 8 <= len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        tag = data[pos + 4: pos + 8]
+        if tag == b"IDAT":
+            idat = data[pos + 8: pos + 8 + ln]
+        elif tag == b"IEND":
+            post = data[pos: pos + 12 + ln]
+        pos += 12 + ln
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    cut = len(idat) // 2
+    split = pre + chunk(b"IDAT", idat[:cut]) + chunk(b"IDAT", idat[cut:]) + post
+    assert (png_decode(split) == img).all()
+
+
+def test_png_unsupported_profiles_are_declared_seams():
+    import struct
+    import zlib
+
+    from aspseek_ray.functions.media import png_decode
+
+    def mini(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                + chunk(b"IEND", b""))
+
+    for depth, color, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1), (1, 0, 0)]:
+        with pytest.raises(NotImplementedError):
+            png_decode(mini(depth, color, inter))
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"GIF89a...")
+
+
+def test_paeth_predictor_spec():
+    """paeth(a,b,c) returns whichever of a/b/c is nearest to a+b-c, ties
+    broken a, then b (PNG spec §9.4)."""
+    from aspseek_ray.functions.media import _paeth
+
+    a = np.array([1, 100, 3, 5], np.int16)    # left
+    b = np.array([2, 3, 100, 5], np.int16)    # up
+    c = np.array([3, 2, 2, 5], np.int16)      # upper-left
+    # p = a+b-c -> [0, 101, 101, 5]; distances decide, ties prefer a then b
+    assert _paeth(a, b, c).tolist() == [1, 100, 100, 5]
+
+
+def test_decode_image_normalizes_channels():
+    from aspseek_ray.functions.media import decode_image, png_encode
+
+    rng = _png_rng()
+    g = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    assert (decode_image(png_encode(g))
+            == np.repeat(g[:, :, None], 3, axis=2)).all()
+    rgba = rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    assert (decode_image(png_encode(rgba)) == rgba[:, :, :3]).all()
+    rgb = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    assert (decode_image(bmp_encode(rgb)) == rgb).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")
+
+
+def test_png_pixel_stats_match_bmp_twin(ray_session):
+    """The independent-codec invariant behind the
+    multimodal_png_pixel_stats oracle: decoding the PNG payload and the
+    BMP twin of the same pixels yields identical exact channel sums."""
+    import ray.data as rd
+
+    from aspseek_ray.pipelines.multimodal import (
+        media_pixel_stats,
+        synth_png_media_table,
+    )
+
+    t = synth_png_media_table(18)
+    got = media_pixel_stats(
+        rd.from_arrow(t.select(["media_id", "media_type", "payload"]))
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(got) == 18
+    for i, row in got.iterrows():
+        img = bmp_decode(t["payload_bmp"][i].as_py())
+        h, w = img.shape[:2]
+        s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["mean_r"] == s[0] / (w * h)
+        assert row["mean_g"] == s[1] / (w * h)
+        assert row["mean_b"] == s[2] / (w * h)
+
+
+def test_resize_stage_handles_png(ray_session):
+    from aspseek_ray.functions.media import png_decode
+    from aspseek_ray.pipelines.multimodal import (
+        resize_images,
+        synth_png_media_table,
+    )
+    import ray.data as rd
+
+    t = synth_png_media_table(9)
+    r = resize_images(rd.from_arrow(t), max_side=16).to_pandas()
+    assert len(r) == 9
+    for _, row in r.iterrows():      # PNG in -> REAL decodable PNG out
+        img = png_decode(row["payload"])
+        assert img.shape[:2] == (row["out_h"], row["out_w"])
