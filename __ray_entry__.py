@@ -546,6 +546,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed: recursive-CTE min-label closure over the exact
         # jaccard pairs
         "near_dup_groups": dedup.near_dup_groups,
+        # oracle-backed: Lee-et-al-style duplicated-span fractions —
+        # distinct 5-token grams hashed (FNV mirror), gram shared by >= 2
+        # docs counts as a duplicate span
+        "duplicate_spans": dedup.duplicate_spans,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "lsh_topk": similarity.lsh_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -833,6 +837,30 @@ def oracle_sql() -> dict[str, str]:
                       UNION
                       SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
             SELECT u AS doc_id, MIN(v) AS group_id FROM reach GROUP BY u
+        """,
+        # duplicated-span fractions: distinct 5-token grams per doc, FNV
+        # hashed (the engine's exact kernel mirrored), a gram present in
+        # >= 2 distinct docs is a duplicate span; dup_ratio is one exact
+        # int/int double division on both sides
+        "duplicate_spans": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> toks[i] || ' ' || toks[i+1] || ' '
+                              || toks[i+2] || ' ' || toks[i+3] || ' '
+                              || toks[i+4])) AS grams
+                  FROM base WHERE len(toks) >= 5),
+            e AS (SELECT doc_id, {_fnv_sql("gm")} AS h
+                  FROM (SELECT doc_id, unnest(grams) AS gm FROM g)),
+            nd AS (SELECT h, COUNT(*) AS n_docs FROM e GROUP BY h)
+            SELECT e.doc_id,
+                   COUNT(*) AS n_grams,
+                   COALESCE(COUNT(*) FILTER (nd.n_docs >= 2), 0)
+                     AS n_dup_grams,
+                   (COUNT(*) FILTER (nd.n_docs >= 2))::DOUBLE / COUNT(*)
+                     AS dup_ratio
+            FROM e JOIN nd USING (h)
+            GROUP BY e.doc_id
         """,
         # excerpt slicer: first word-boundary match located via a
         # non-greedy captured prefix (length(pre) == python m.start();

@@ -535,7 +535,7 @@ def simhash64_ds(sf_dir: str) -> "rd.Dataset":
 def simhash64(sf_dir: str) -> pa.Table:
     """Public small-result Table wrapper over simhash64_ds (tests/REPL
     only — pipelines consume the Dataset form)."""
-    return pa.concat_tables(ray.get(simhash64_ds(sf_dir).to_arrow_refs()))
+    return pa.concat_tables(ray.get(simhash64_ds(sf_dir).materialize().to_arrow_refs()))
 
 
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
@@ -680,7 +680,7 @@ def connected_components(pairs: pa.Table, max_iters: int = 20) -> pa.Table:
 
     out = edges.map_batches(label_all, batch_format="pyarrow",
                             batch_size=None)
-    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    t = pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
     return t.sort_by("doc_id")
 
 
@@ -749,7 +749,7 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
                          "cosine": pa.array(np.round(S[bi, aj][keep], 4))})
 
     out = emb.map_batches(block, batch_format="pyarrow", batch_size=1024)
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
 def _embedding_near_dup_bucketed(emb: rd.Dataset, threshold: float,
@@ -808,9 +808,79 @@ def _embedding_near_dup_bucketed(emb: rd.Dataset, threshold: float,
     out = (emb.map_batches(assign, batch_format="pyarrow", batch_size=4096)
               .groupby("code")
               .map_groups(score_group, batch_format="pandas"))
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table({"vec_a": pa.array([], pa.int64()),
                          "vec_b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
     return pa.concat_tables(parts).combine_chunks()
+
+
+# -------------------------------------------------- duplicate n-gram spans
+def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
+    """Cross-document duplicate-span detection — the exact-substring
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022), in its distributed n-gram form:
+    a doc's ``k``-token gram is a DUPLICATE SPAN iff the same gram occurs
+    in at least one other document. Output per doc (docs with >= k
+    tokens): (doc_id, n_grams [distinct], n_dup_grams, dup_ratio) — the
+    per-document duplicated-span fraction a filter stage thresholds on.
+
+    Scale shape (suffix arrays don't distribute; hashed grams do):
+      1. map_batches: tokenize, distinct k-grams per doc, FNV-1a64 each —
+         only (h, doc_id) uint64 pairs leave the stage, never text.
+      2. groupby(h): group size IS the gram's distinct-doc count (a doc
+         never spans batches and grams are per-doc distinct); emit
+         (doc_id, dup) memberships.
+      3. groupby(doc_id): per-doc counts. Two all-to-all exchanges of
+         16-byte rows — the standard count-then-redistribute shape, no
+         broadcast of an unbounded dup set, no driver materialization.
+    """
+    path = f"{sf_dir}/documents.parquet"
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            toks = tokenize(t or "")
+            if len(toks) < k:
+                continue
+            dg = {" ".join(toks[j:j + k])
+                  for j in range(len(toks) - k + 1)}
+            ids.extend([did] * len(dg))
+            gs.extend(sorted(dg))
+        if not ids:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        h = fnv1a64_arrow(pa.array(gs, pa.string())).astype(np.uint64)
+        return pa.table({"h": pa.array(h),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    def mark(group: pa.Table) -> pa.Table:
+        dup = group.num_rows >= 2
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "dup": pa.array(np.full(group.num_rows, np.int64(dup))),
+        })
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        nd = int(pc.sum(group["dup"]).as_py() or 0)
+        return pa.table({
+            "doc_id": group["doc_id"][:1],
+            "n_grams": pa.array([n], pa.int64()),
+            "n_dup_grams": pa.array([nd], pa.int64()),
+            "dup_ratio": pa.array([nd / n], pa.float64()),
+        })
+
+    out = (rd.read_parquet(path, columns=["doc_id", "text"])
+             .map_batches(grams, batch_format="pyarrow")
+             .groupby("h").map_groups(mark, batch_format="pyarrow")
+             .groupby("doc_id").map_groups(per_doc, batch_format="pyarrow"))
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_dup_grams": pa.array([], pa.int64()),
+                         "dup_ratio": pa.array([], pa.float64())})
+    return pa.concat_tables(parts)

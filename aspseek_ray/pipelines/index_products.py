@@ -726,7 +726,7 @@ def _pagerank_joined(pages_path: str, n: int, iterations: int,
     """Keyed-join PageRank — no driver node list, no O(n) broadcast."""
     out = _pagerank_joined_ds(pages_path, n, iterations, damping, ndigits,
                               num_partitions)
-    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    t = pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
     return t.sort_by("url")
 
 

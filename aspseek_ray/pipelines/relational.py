@@ -220,7 +220,7 @@ def customers_without_orders(sf_dir: str, min_price: float = 300_000.0) -> pa.Ta
         return batch.filter(pa.array(~have))
 
     out = ds.map_batches(anti, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
 # ------------------------------------------------------------------------- O31
@@ -511,9 +511,9 @@ def _events_sessions_presplit(ds, gap_s: int, window_s: int) -> pa.Table:
                          .map_groups(stitch, batch_format="pandas"))
     cols = ["user_id", "session_start", "n_events", "total_value"]
     parts = ([t.select(cols) for t in ray.get(
-                 final.to_arrow_refs()) if t.num_rows] +
+                 final.materialize().to_arrow_refs()) if t.num_rows] +
              [t.select(cols) for t in ray.get(
-                 stitched.to_arrow_refs()) if t.num_rows])
+                 stitched.materialize().to_arrow_refs()) if t.num_rows])
     if not parts:
         return pa.table({"user_id": pa.array([], pa.int64()),
                          "session_start": pa.array([], pa.timestamp("us")),
@@ -558,7 +558,7 @@ def orders_price_band_join(sf_dir: str) -> pa.Table:
         })
 
     out = ds.map_batches(band, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs())).combine_chunks()
 
 
 # ---------------------------------------------------------------- as-of join
@@ -630,4 +630,4 @@ def docs_with_all_terms(sf_dir: str, terms: tuple[str, ...] = ("spark", "order")
         return batch.filter(mask).select(["doc_id"])
 
     out = ds.map_batches(matches, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))

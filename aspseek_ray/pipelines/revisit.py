@@ -88,7 +88,7 @@ def recrawl_diff(store_dir: str, pages_path: str,
                          "change": pa.array(change.tolist(), pa.string())})
 
     out = joined.map_batches(classify, batch_format="pyarrow")
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table({"url": pa.array([], pa.string()),
                          "change": pa.array([], pa.string())})

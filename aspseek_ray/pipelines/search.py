@@ -182,7 +182,7 @@ def _term_postings(sf_dir: str, terms: tuple[str, ...]) -> tuple[pa.Table, int]:
     ds, n_docs = _term_postings_ds(sf_dir, terms)
     if ds is None:
         return pa.table(_EMPTY_POSTINGS), n_docs
-    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table(_EMPTY_POSTINGS), n_docs
     return pa.concat_tables(parts).combine_chunks(), n_docs
@@ -344,7 +344,7 @@ def _ast_plan(sf_dir: str, ast,
         return empty
     if ds.count() > driver_max_posting_rows:
         out = _eval_ast_distributed(ds, ast).sort("doc_id")
-        parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
         return (pa.concat_tables(parts).combine_chunks()
                 if parts else empty)
     post = _term_postings(sf_dir, terms)[0]
@@ -439,7 +439,7 @@ def stemmed_search(sf_dir: str,
     if paths:
         vt = rd.read_parquet(paths, columns=["stem", "word"],
                              filter=pc.field("stem").isin(list(want)))
-        parts = [t for t in ray.get(vt.to_arrow_refs()) if t.num_rows]
+        parts = [t for t in ray.get(vt.materialize().to_arrow_refs()) if t.num_rows]
     else:
         parts = []
     forms = pa.concat_tables(parts or
@@ -572,7 +572,7 @@ def _ranked_crawl_distributed(store: "rd.Dataset", store_dir: str,
                               ("url", "ascending")]).slice(0, k)
 
         parts = [t for t in ray.get(scored.map_batches(
-            partial_topk, batch_format="pyarrow").to_arrow_refs())
+            partial_topk, batch_format="pyarrow").materialize().to_arrow_refs())
             if t.num_rows]
         if not parts:
             return _empty()
@@ -609,7 +609,7 @@ def _ranked_crawl_distributed(store: "rd.Dataset", store_dir: str,
                                         preserve_index=False)
 
         parts = [t for t in ray.get(capped.map_batches(
-            partial_host_topk, batch_format="pyarrow").to_arrow_refs())
+            partial_host_topk, batch_format="pyarrow").materialize().to_arrow_refs())
             if t.num_rows]
         if not parts:
             return _empty()
@@ -698,7 +698,7 @@ def ranked_crawl_search(store_dir: str, pages_path: str,
 
     tf = store.map_batches(_tf_rows_fn(term_set, ast),
                            batch_format="pyarrow")
-    parts = [t for t in ray.get(tf.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(tf.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table({"url": pa.array([], pa.string()),
                          "score": pa.array([], pa.float64()),
@@ -886,7 +886,7 @@ def excerpts(store_dir: str, terms: tuple[str, ...],
     flt = pc.field("url").isin(list(urls)) if urls is not None else None
     ds = rd.read_parquet(paths, columns=["url", "text"], filter=flt)
     out = ds.map_batches(slice_batch, batch_format="pyarrow")
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return empty
     return pa.concat_tables(parts).sort_by([("url", "ascending"),
@@ -933,7 +933,7 @@ def tfidf_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
                               ("doc_seq", "ascending")]).slice(0, k)
 
         parts = [t for t in ray.get(scores.map_batches(
-            partial_topk, batch_format="pyarrow").to_arrow_refs())
+            partial_topk, batch_format="pyarrow").materialize().to_arrow_refs())
             if t.num_rows]
         if not parts:
             return empty

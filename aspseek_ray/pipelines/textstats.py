@@ -52,7 +52,7 @@ def token_stats(sf_dir: str) -> pa.Table:
         })
 
     out = ds.map_batches(stats, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
 def word_document_frequency(sf_dir: str, min_df: int = 2) -> pa.Table:
@@ -96,7 +96,7 @@ def quality_scores(sf_dir: str) -> pa.Table:
         })
 
     out = ds.map_batches(score, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
 class LangId:
@@ -125,7 +125,7 @@ def language_id(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(LangId, batch_format="pyarrow",
                          concurrency=actor_pool())
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
 def fingerprints(sf_dir: str) -> pa.Table:
@@ -138,7 +138,7 @@ def fingerprints(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"], "fp64": pa.array(vals)})
 
     out = ds.map_batches(fp, batch_format="pyarrow")
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
 def stopword_ratio_filter(sf_dir: str, max_stop_ratio: float = 0.5,
@@ -194,7 +194,7 @@ def repetition_scores(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(rep, batch_format="pyarrow")
     # drop Ray's schema-less empty blocks (tiny inputs) before concat
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return rep(pa.table({"doc_id": pa.array([], pa.int64()),
                              "text": pa.array([], pa.string())}))
@@ -272,7 +272,7 @@ def contamination_flags(sf_dir: str, shingle: int = 3,
 
     out = (rd.read_parquet(path, columns=["doc_id", "text"])
              .map_batches(probe, batch_format="pyarrow"))
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return probe(pa.table({"doc_id": pa.array([], pa.int64()),
                                "text": pa.array([], pa.string())}))
@@ -324,7 +324,7 @@ def normalize_text(sf_dir: str) -> pa.Table:
         })
 
     out = ds.map_batches(norm, batch_format="pyarrow")
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return norm(pa.table({"doc_id": pa.array([], pa.int64()),
                               "text": pa.array([], pa.string())}))
@@ -362,7 +362,7 @@ def bpe_token_counts(sf_dir: str) -> pa.Table:
         })
 
     out = ds.map_batches(counts, batch_format="pyarrow")
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return counts(pa.table({"doc_id": pa.array([], pa.int64()),
                                 "text": pa.array([], pa.string())}))

@@ -1,4 +1,13 @@
-"""Small runtime helpers shared by pipelines."""
+"""Small runtime helpers shared by pipelines.
+
+Repo-wide collect convention: every ``ds.to_arrow_refs()`` call goes
+through ``ds.materialize().to_arrow_refs()``. On a non-materialized plan,
+``to_arrow_refs`` executes the plan for the blocks and then AGAIN
+(limit=1, which still pays any upstream sort/shuffle in full) for its
+schema probe — a measured ~2x on collect-style queries. ``materialize()``
+caches blocks + schema so the plan runs exactly once; the collected
+results here are small (aggregates, top-k, signature tables), so pinning
+them is free."""
 
 from __future__ import annotations
 
@@ -21,7 +30,7 @@ def unique_keys_ref(ds, column: str) -> "ray.ObjectRef":
     ``to_arrow_refs`` hands over block refs only, so no row ever passes
     through the driver — it holds one ObjectRef to the sorted unique array
     (the broadcast side of a map-side semi/anti join)."""
-    return _worker_unique_i64.remote(ds.to_arrow_refs(), column)
+    return _worker_unique_i64.remote(ds.materialize().to_arrow_refs(), column)
 
 
 @ray.remote
@@ -41,7 +50,7 @@ def sorted_lookup_ref(ds, key_col: str, val_col: str) -> "ray.ObjectRef":
     from a Dataset's block refs — the vectorized broadcast-join side:
     readers ``ray.get`` the ref once per actor and probe with
     ``np.searchsorted``. Keys are assumed unique (a primary key)."""
-    return _worker_sorted_lookup.remote(ds.to_arrow_refs(), key_col, val_col)
+    return _worker_sorted_lookup.remote(ds.materialize().to_arrow_refs(), key_col, val_col)
 
 
 def join_partitions(default: int = 8) -> int:

@@ -260,7 +260,8 @@ def run_bench() -> dict:
                      "repetition_scores", "contamination_flags", "normalize_text",
                      "bpe_token_counts",
                      "orders_price_quantiles",
-                     "sample_documents"]
+                     "sample_documents", "duplicate_spans",
+                     "multimodal_png_pixel_stats"]
     for name in bench_queries:
         t0 = time.monotonic()
         r = q[name](SF_DIR)
