@@ -127,20 +127,23 @@ def _media_parquet() -> str:
     return str(out)
 
 
-def _png_media_parquet() -> str:
-    """Oracle input for the PNG pixel-stats query: PNG payloads (engine
-    side) plus a BMP twin of the same pixels (oracle side) — the SQL
-    decodes the BMP bytes, the engine decodes the PNG, and agreement
-    checks the PNG codec against an independent decoder."""
+def _twin_media_parquet(kind: str) -> str:
+    """Oracle input for the compressed-codec pixel-stats queries
+    (kind = 'png' | 'gif'): compressed payloads (engine side) plus a BMP
+    twin of the same pixels (oracle side) — the SQL decodes the BMP
+    bytes, the engine decodes the compressed format, and agreement
+    checks the codec against an independent decoder."""
     import pyarrow.parquet as pq
 
-    out = Path(f"/tmp/aspseek_ray_oracle/{_CORPUS_VERSION}/media_png.parquet")
+    out = Path(f"/tmp/aspseek_ray_oracle/{_CORPUS_VERSION}/media_{kind}.parquet")
     if not out.exists():
-        from aspseek_ray.pipelines.multimodal import synth_png_media_table
+        from aspseek_ray.pipelines import multimodal
 
+        builder = {"png": multimodal.synth_png_media_table,
+                   "gif": multimodal.synth_gif_media_table}[kind]
         out.parent.mkdir(parents=True, exist_ok=True)
         tmp = out.with_suffix(".parquet.tmp")
-        pq.write_table(synth_png_media_table(96), tmp)
+        pq.write_table(builder(96), tmp)
         tmp.rename(out)
     return str(out)
 
@@ -441,7 +444,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from aspseek_ray.pipelines.multimodal import media_pixel_stats
 
-        ds = rd.read_parquet(_png_media_parquet(),
+        ds = rd.read_parquet(_twin_media_parquet("png"),
+                             columns=["media_id", "media_type", "payload"])
+        return media_pixel_stats(ds).to_pandas()
+
+    def multimodal_gif_pixel_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check, GIF edition: the engine
+        # runs the real LZW decoder (variable code widths, table resets,
+        # palette lookup); the SQL oracle re-decodes a BMP twin of the
+        # same pixels byte-by-byte. Exact int64 byte sums must agree.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_pixel_stats
+
+        ds = rd.read_parquet(_twin_media_parquet("gif"),
                              columns=["media_id", "media_type", "payload"])
         return media_pixel_stats(ds).to_pandas()
 
@@ -558,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal_features,
         "multimodal_pixel_stats": multimodal_pixel_stats,
         "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
+        "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
@@ -631,6 +648,42 @@ def _byte_sql(pos: str) -> str:
     return (f"((strpos('0123456789abcdef', substr(hx, 2*({pos})+1, 1)) - 1)"
             f" * 16 + "
             f"strpos('0123456789abcdef', substr(hx, 2*({pos})+2, 1)) - 1)")
+
+
+def _bmp_pixel_sql(path: str, col: str) -> str:
+    """Exact per-channel pixel means re-decoded from raw BMP bytes in
+    SQL (hex extraction, BITMAPINFOHEADER offsets, 4-byte row stride,
+    BGR order) — the independent-codec side of every pixel-stats oracle:
+    ``col`` is 'payload' for the plain BMP table and 'payload_bmp' for
+    the PNG/GIF twin tables."""
+    return f"""
+            WITH imgs AS (
+              SELECT media_id, lower(hex({col})) AS hx
+              FROM read_parquet('{path}')
+              WHERE media_type = 'image'),
+            hdr AS (
+              SELECT media_id, hx,
+                     {_byte_sql("10")} + 256 * {_byte_sql("11")}
+                       + 65536 * {_byte_sql("12")}
+                       + 16777216 * {_byte_sql("13")} AS off,
+                     {_byte_sql("18")} + 256 * {_byte_sql("19")} AS w,
+                     {_byte_sql("22")} + 256 * {_byte_sql("23")} AS h
+              FROM imgs),
+            strided AS (
+              SELECT media_id, hx, off, w, h,
+                     ((w * 3 + 3) // 4) * 4 AS stride
+              FROM hdr),
+            px AS (
+              SELECT media_id, w, h, (pos % stride) % 3 AS ch,
+                     {_byte_sql("off + pos")} AS v
+              FROM strided, unnest(range(0, stride * h)) AS t(pos)
+              WHERE (pos % stride) < w * 3)
+            SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
+                   (sum(v) FILTER (ch = 2))::DOUBLE / (w * h) AS mean_r,
+                   (sum(v) FILTER (ch = 1))::DOUBLE / (w * h) AS mean_g,
+                   (sum(v) FILTER (ch = 0))::DOUBLE / (w * h) AS mean_b
+            FROM px GROUP BY media_id, w, h
+        """
 
 
 def _minhash_seed_values() -> str:
@@ -1385,62 +1438,14 @@ def oracle_sql() -> dict[str, str]:
         # PNG engine path vs BMP-twin SQL decode: same pixel bytes through
         # two independent codecs (engine: zlib inflate + unfilter; oracle:
         # plain BMP hex extraction) must produce identical integer sums.
-        "multimodal_png_pixel_stats": f"""
-            WITH imgs AS (
-              SELECT media_id, lower(hex(payload_bmp)) AS hx
-              FROM read_parquet('{_png_media_parquet()}')
-              WHERE media_type = 'image'),
-            hdr AS (
-              SELECT media_id, hx,
-                     {_byte_sql("10")} + 256 * {_byte_sql("11")}
-                       + 65536 * {_byte_sql("12")}
-                       + 16777216 * {_byte_sql("13")} AS off,
-                     {_byte_sql("18")} + 256 * {_byte_sql("19")} AS w,
-                     {_byte_sql("22")} + 256 * {_byte_sql("23")} AS h
-              FROM imgs),
-            strided AS (
-              SELECT media_id, hx, off, w, h,
-                     ((w * 3 + 3) // 4) * 4 AS stride
-              FROM hdr),
-            px AS (
-              SELECT media_id, w, h, (pos % stride) % 3 AS ch,
-                     {_byte_sql("off + pos")} AS v
-              FROM strided, unnest(range(0, stride * h)) AS t(pos)
-              WHERE (pos % stride) < w * 3)
-            SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
-                   (sum(v) FILTER (ch = 2))::DOUBLE / (w * h) AS mean_r,
-                   (sum(v) FILTER (ch = 1))::DOUBLE / (w * h) AS mean_g,
-                   (sum(v) FILTER (ch = 0))::DOUBLE / (w * h) AS mean_b
-            FROM px GROUP BY media_id, w, h
-        """,
-        "multimodal_pixel_stats": f"""
-            WITH imgs AS (
-              SELECT media_id, lower(hex(payload)) AS hx
-              FROM read_parquet('{_media_parquet()}')
-              WHERE media_type = 'image'),
-            hdr AS (
-              SELECT media_id, hx,
-                     {_byte_sql("10")} + 256 * {_byte_sql("11")}
-                       + 65536 * {_byte_sql("12")}
-                       + 16777216 * {_byte_sql("13")} AS off,
-                     {_byte_sql("18")} + 256 * {_byte_sql("19")} AS w,
-                     {_byte_sql("22")} + 256 * {_byte_sql("23")} AS h
-              FROM imgs),
-            strided AS (
-              SELECT media_id, hx, off, w, h,
-                     ((w * 3 + 3) // 4) * 4 AS stride
-              FROM hdr),
-            px AS (
-              SELECT media_id, w, h, (pos % stride) % 3 AS ch,
-                     {_byte_sql("off + pos")} AS v
-              FROM strided, unnest(range(0, stride * h)) AS t(pos)
-              WHERE (pos % stride) < w * 3)
-            SELECT media_id, w::BIGINT AS width, h::BIGINT AS height,
-                   (sum(v) FILTER (ch = 2))::DOUBLE / (w * h) AS mean_r,
-                   (sum(v) FILTER (ch = 1))::DOUBLE / (w * h) AS mean_g,
-                   (sum(v) FILTER (ch = 0))::DOUBLE / (w * h) AS mean_b
-            FROM px GROUP BY media_id, w, h
-        """,
+        "multimodal_png_pixel_stats":
+            _bmp_pixel_sql(_twin_media_parquet("png"), "payload_bmp"),
+        # same contract, GIF edition: engine runs the real LZW
+        # decoder; oracle decodes the BMP twin
+        "multimodal_gif_pixel_stats":
+            _bmp_pixel_sql(_twin_media_parquet("gif"), "payload_bmp"),
+        "multimodal_pixel_stats":
+            _bmp_pixel_sql(_media_parquet(), "payload"),
         # PCM16 WAV re-parsed from the payload bytes in SQL: header
         # fields at the encoder's canonical RIFF layout (fmt at 12,
         # data at 36), samples as LE 16-bit words with two's-complement

@@ -10,6 +10,9 @@ all are fully documented public specs and are implemented here for real:
 * **PNG** (8-bit gray/RGB/RGBA, non-interlaced, all five scanline
   filters, chunk CRCs verified) — DEFLATE via stdlib ``zlib``, filters
   in numpy; a real compressed image codec with no external deps.
+* **GIF** (87a/89a, real variable-width LZW with clear/EOI and 12-bit
+  table resets, global/local color tables, interlace) — the other
+  non-transform-coded web image format.
 
 * **BMP** (Windows BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up rows,
   4-byte row padding) — the canonical uncompressed image interchange.
@@ -30,7 +33,8 @@ import numpy as np
 __all__ = [
     "bmp_encode", "bmp_decode", "wav_encode", "wav_decode",
     "y4m_encode", "y4m_decode", "resize_nearest",
-    "png_encode", "png_decode", "decode_image",
+    "png_encode", "png_decode", "gif_encode", "gif_decode",
+    "decode_image",
 ]
 
 
@@ -345,5 +349,191 @@ def decode_image(payload: bytes) -> np.ndarray:
         if img.ndim == 2:
             return np.repeat(img[:, :, None], 3, axis=2)
         return np.ascontiguousarray(img[:, :, :3])
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode(payload)
     raise NotImplementedError(
-        "unknown image container (JPEG/GIF/... need PIL, not present)")
+        "unknown image container (JPEG/WebP/... need PIL, not present)")
+
+
+# --------------------------------------------------------------------- GIF
+# GIF87a/89a is the other web image format with no transform coding: LZW
+# (fully specified in the GIF spec, patent-expired since 2004) over
+# palette indices. Implemented for real: variable-width LZW (3-12 bit
+# codes, clear/EOI), global+local color tables, interlaced and
+# non-interlaced frames, 89a extension blocks skipped. The encoder takes
+# a PALETTED image (index array + palette) — palette quantization of
+# truecolor input is a modeling choice, not a codec concern.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))   # (start, step) passes
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette -> GIF87a
+    bytes (global color table, one image, real LZW)."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("gif_encode expects (h, w) uint8 indices")
+    if palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("gif_encode expects (n, 3) palette")
+    n_pal = len(palette)
+    if n_pal < 2 or n_pal > 256 or indices.max(initial=0) >= n_pal:
+        raise ValueError("palette must hold 2..256 entries covering indices")
+    depth = max(1, int(n_pal - 1).bit_length())     # color table size 2^depth
+    table = np.zeros((1 << depth, 3), np.uint8)
+    table[:n_pal] = palette
+    h, w = indices.shape
+
+    # ---- LZW compress (GIF variant) ----
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    dict_ = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    width = min_code + 1
+    out_codes: list[tuple[int, int]] = [(clear, width)]
+    buf = b""
+    for b in indices.tobytes():
+        cand = buf + bytes([b])
+        if cand in dict_:
+            buf = cand
+            continue
+        out_codes.append((dict_[buf], width))
+        dict_[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12):                 # table full: reset
+            out_codes.append((clear, width))
+            dict_ = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        buf = bytes([b])
+    if buf:
+        out_codes.append((dict_[buf], width))
+    out_codes.append((eoi, width))
+    # pack LSB-first
+    bits = bitpos = 0
+    packed = bytearray()
+    for code, cw in out_codes:
+        bits |= code << bitpos
+        bitpos += cw
+        while bitpos >= 8:
+            packed.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+    if bitpos:
+        packed.append(bits & 0xFF)
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1),
+                       0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)   # image descriptor
+    out.append(min_code)
+    for i in range(0, len(packed), 255):                 # data sub-blocks
+        chunk = packed[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"                                   # terminator+trailer
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF bytes -> (h, w, 3) uint8 RGB of the FIRST frame (global or
+    local color table, interlace supported; 89a extensions skipped)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    global_table = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_table = np.frombuffer(data, np.uint8, 3 * n,
+                                     pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                                # trailer
+            break
+        if block == 0x21:                                # extension: skip
+            pos += 1                                     # label
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        table = global_table
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(data, np.uint8, 3 * n,
+                                  pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            stream += data[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # ---- LZW decompress ----
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        base = [bytes([i]) for i in range(1 << min_code)]
+        dict_: list[bytes] = []
+        width = min_code + 1
+        bits = bitpos = 0
+        idx = np.empty(w * h, np.uint8)
+        n_out = 0
+        prev: bytes | None = None
+        bi = 0
+        while True:
+            while bitpos < width and bi < len(stream):
+                bits |= stream[bi] << bitpos
+                bi += 1
+                bitpos += 8
+            if bitpos < width:
+                raise ValueError("truncated GIF LZW stream")
+            code = bits & ((1 << width) - 1)
+            bits >>= width
+            bitpos -= width
+            if code == clear:
+                dict_ = []
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            n_base = 1 << min_code
+            if code < n_base:
+                entry = base[code]
+            elif code - n_base - 2 < len(dict_):
+                entry = dict_[code - n_base - 2]
+            elif code == n_base + 2 + len(dict_) and prev is not None:
+                entry = prev + prev[:1]                  # KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            idx[n_out:n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+            n_out += len(entry)
+            if prev is not None:
+                dict_.append(prev + entry[:1])
+            if n_base + 2 + len(dict_) >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if n_out >= w * h:
+                break
+        if n_out != w * h:
+            raise ValueError("GIF pixel count mismatch")
+        grid = idx.reshape(h, w)
+        if iflags & 0x40:                                # interlaced
+            rows = np.concatenate([np.arange(s, h, st)
+                                   for s, st in _GIF_INTERLACE])
+            out = np.empty_like(grid)
+            out[rows] = grid
+            grid = out
+        return table[grid]                               # first frame only
+    raise ValueError("GIF contains no image block")

@@ -49,6 +49,8 @@ def _sniff(payload: bytes) -> str:
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
@@ -75,7 +77,7 @@ class DecodeStage:
     def _features(self, payload: bytes) -> np.ndarray:
         kind = _sniff(payload)
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
-        if kind in ("bmp", "png"):
+        if kind in ("bmp", "png", "gif"):
             img = decode_image(payload).astype(np.float32)
             h, w = img.shape[:2]
             luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
@@ -142,7 +144,9 @@ class ResizeStage:
             ids.append(mid)
             ws.append(ow)
             hs.append(oh)
-            enc = png_encode if _sniff(p) == "png" else bmp_encode
+            # GIF re-encodes as PNG: resize output is truecolor RGB and
+            # PNG carries it losslessly (GIF would need re-quantization)
+            enc = png_encode if _sniff(p) in ("png", "gif") else bmp_encode
             payloads.append(enc(resize_nearest(img, ow, oh)))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "out_w": pa.array(ws, pa.int32()),
@@ -374,6 +378,35 @@ def synth_media_table(n: int = 256, seed: int = 9) -> pa.Table:
 
 def synth_media_dataset(n: int = 256, seed: int = 9) -> rd.Dataset:
     return rd.from_arrow(synth_media_table(n, seed))
+
+
+def synth_gif_media_table(n: int = 96, seed: int = 13) -> pa.Table:
+    """Deterministic GIF image table with a BMP TWIN column, same
+    independent-codec contract as :func:`synth_png_media_table`:
+    ``payload`` is real GIF87a bytes (random paletted images, palette
+    sizes cycling 4/16/64/256 so LZW code widths 3 through 9+ and the
+    clear-code reset all occur), ``payload_bmp`` the same pixels as
+    24-bit BMP."""
+    from aspseek_ray.functions.media import gif_encode
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, gifs, bmps, metas = [], [], [], []
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        n_pal = (4, 16, 64, 256)[i % 4]
+        pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
+        ids.append(i)
+        gifs.append(gif_encode(idx, pal))
+        bmps.append(bmp_encode(pal[idx]))
+        metas.append({"width": w, "height": h, "duration_ms": 0})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(gifs, pa.binary()),
+        "payload_bmp": pa.array(bmps, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })
 
 
 def synth_png_media_table(n: int = 96, seed: int = 11) -> pa.Table:

@@ -261,7 +261,8 @@ def run_bench() -> dict:
                      "bpe_token_counts",
                      "orders_price_quantiles",
                      "sample_documents", "duplicate_spans",
-                     "multimodal_png_pixel_stats"]
+                     "multimodal_png_pixel_stats",
+                     "multimodal_gif_pixel_stats"]
     for name in bench_queries:
         t0 = time.monotonic()
         r = q[name](SF_DIR)
