@@ -570,6 +570,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": similarity.lsh_topk,
         "ivf_topk": similarity.ivf_topk,
         "stemmed_search": search.stemmed_search,
+        # rows-only (iterative argmax loop — not SQL-expressible): BPE
+        # vocabulary training; pytest proves the merges equal an
+        # independent reference implementation and the forced-distributed
+        # plan equals the local plan merge-for-merge (test_bpe.py)
+        "bpe_train_merges": lambda sf_dir: __import__(
+            "aspseek_ray.pipelines.bpe", fromlist=["bpe_train"]
+        ).bpe_train(sf_dir, n_merges=48),
         "fingerprints": textstats.fingerprints,
         "multimodal_features": multimodal_features,
         "multimodal_pixel_stats": multimodal_pixel_stats,
