@@ -898,20 +898,27 @@ def oracle_sql() -> dict[str, str]:
                       SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
             SELECT u AS doc_id, MIN(v) AS group_id FROM reach GROUP BY u
         """,
-        # duplicated-span fractions: distinct 5-token grams per doc, FNV
-        # hashed (the engine's exact kernel mirrored), a gram present in
-        # >= 2 distinct docs is a duplicate span; dup_ratio is one exact
-        # int/int double division on both sides
+        # duplicated-span fractions: distinct 5-token grams per doc,
+        # hashed exactly as the engine does — per-token FNV-1a64 combined
+        # polynomially with FNV-prime powers mod 2^64 (split 64x64
+        # multiplies via _mul64c); a gram present in >= 2 distinct docs
+        # is a duplicate span; dup_ratio is one exact int/int double
+        # division on both sides
         "duplicate_spans": f"""
             WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            th AS (SELECT doc_id,
+                     list_transform(toks, w -> {_fnv_sql("w")}) AS hv
+                   FROM base WHERE len(toks) >= 5),
             g AS (SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(toks) - 3),
-                         i -> toks[i] || ' ' || toks[i+1] || ' '
-                              || toks[i+2] || ' ' || toks[i+3] || ' '
-                              || toks[i+4])) AS grams
-                  FROM base WHERE len(toks) >= 5),
-            e AS (SELECT doc_id, {_fnv_sql("gm")} AS h
-                  FROM (SELECT doc_id, unnest(grams) AS gm FROM g)),
+                     list_distinct(list_transform(range(1, len(hv) - 3),
+                       i -> ({_mul64c("hv[i]", 11527715348014283921)}
+                           + {_mul64c("hv[i+1]", 624165263380053675)}
+                           + {_mul64c("hv[i+2]", 956575116354345)}
+                           + {_mul64c("hv[i+3]", 1099511628211)}
+                           + hv[i+4]) % 18446744073709551616::HUGEINT
+                     )) AS grams
+                  FROM th),
+            e AS (SELECT doc_id, unnest(grams) AS h FROM g),
             nd AS (SELECT h, COUNT(*) AS n_docs FROM e GROUP BY h)
             SELECT e.doc_id,
                    COUNT(*) AS n_grams,

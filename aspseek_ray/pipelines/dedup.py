@@ -827,34 +827,63 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
     per-document duplicated-span fraction a filter stage thresholds on.
 
     Scale shape (suffix arrays don't distribute; hashed grams do):
-      1. map_batches: tokenize, distinct k-grams per doc, FNV-1a64 each —
-         only (h, doc_id) uint64 pairs leave the stage, never text.
+      1. map_batches: tokenize, then VECTORIZED gram hashing — one
+         fnv1a64_arrow sweep over the batch's flat token column, a
+         sliding-window polynomial combine (mod-2^64 uint64 wraparound,
+         FNV-prime powers) for the k-gram hash, one lexsort for the
+         per-doc distinct — no per-gram string building; only
+         (h, doc_id) uint64 pairs leave the stage, never text.
       2. groupby(h): group size IS the gram's distinct-doc count (a doc
          never spans batches and grams are per-doc distinct); emit
          (doc_id, dup) memberships.
       3. groupby(doc_id): per-doc counts. Two all-to-all exchanges of
          16-byte rows — the standard count-then-redistribute shape, no
          broadcast of an unbounded dup set, no driver materialization.
+
+    The gram hash is g(i) = sum_j fnv1a64(tok_{i+j}) * PRIME^(k-1-j)
+    mod 2^64 — mirrored term-for-term by the SQL oracle via the split
+    64x64 multiply (__ray_entry__._mul64c).
     """
     path = f"{sf_dir}/documents.parquet"
+    prime = np.uint64(1099511628211)                 # FNV prime, reused
+    powers = np.empty(k, np.uint64)
+    powers[k - 1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * prime
 
     def grams(batch: pa.Table) -> pa.Table:
-        ids, gs = [], []
-        for did, t in zip(batch["doc_id"].to_pylist(),
-                          batch["text"].to_pylist()):
-            toks = tokenize(t or "")
-            if len(toks) < k:
-                continue
-            dg = {" ".join(toks[j:j + k])
-                  for j in range(len(toks) - k + 1)}
-            ids.extend([did] * len(dg))
-            gs.extend(sorted(dg))
-        if not ids:
-            return pa.table({"h": pa.array([], pa.uint64()),
-                             "doc_id": pa.array([], pa.int64())})
-        h = fnv1a64_arrow(pa.array(gs, pa.string())).astype(np.uint64)
-        return pa.table({"h": pa.array(h),
-                         "doc_id": pa.array(ids, pa.int64())})
+        empty = pa.table({"h": pa.array([], pa.uint64()),
+                          "doc_id": pa.array([], pa.int64())})
+        toks_per_doc = [tokenize(t or "")
+                        for t in batch["text"].to_pylist()]
+        lens = np.array([len(t) for t in toks_per_doc], np.int64)
+        keep = lens >= k
+        if not keep.any():
+            return empty
+        doc_ids = batch["doc_id"].to_numpy()[keep]
+        toks_per_doc = [t for t, kp in zip(toks_per_doc, keep) if kp]
+        lens = lens[keep]
+        flat = [w for toks in toks_per_doc for w in toks]
+        hv = fnv1a64_arrow(pa.array(flat, pa.string())).astype(np.uint64)
+        # all windows over the flat array; windows crossing a doc
+        # boundary are masked out via each doc's [start, end-k] range
+        win = np.lib.stride_tricks.sliding_window_view(hv, k)
+        with np.errstate(over="ignore"):
+            g = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        n_win = lens - k + 1
+        doc_of = np.repeat(np.arange(len(lens)), n_win)
+        pos = np.concatenate([np.arange(s, s + m)
+                              for s, m in zip(starts, n_win)])
+        g = g[pos]
+        # per-(doc, gram) distinct via one lexsort over the batch
+        order = np.lexsort((g, doc_of))
+        doc_of, g = doc_of[order], g[order]
+        first = np.r_[True, (doc_of[1:] != doc_of[:-1]) | (g[1:] != g[:-1])]
+        return pa.table({"h": pa.array(g[first]),
+                         "doc_id": pa.array(doc_ids[doc_of[first]])})
 
     def mark(group: pa.Table) -> pa.Table:
         dup = group.num_rows >= 2
