@@ -140,7 +140,8 @@ def _twin_media_parquet(kind: str) -> str:
         from aspseek_ray.pipelines import multimodal
 
         builder = {"png": multimodal.synth_png_media_table,
-                   "gif": multimodal.synth_gif_media_table}[kind]
+                   "gif": multimodal.synth_gif_media_table,
+                   "jpeg": multimodal.synth_jpeg_media_table}[kind]
         out.parent.mkdir(parents=True, exist_ok=True)
         tmp = out.with_suffix(".parquet.tmp")
         pq.write_table(builder(96), tmp)
@@ -461,6 +462,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_pixel_stats(ds).to_pandas()
 
+    def multimodal_jpeg_pixel_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check, JPEG edition: the engine
+        # runs the real baseline decoder (Huffman + dequant + IDCT +
+        # chroma upsample + RSTn resync); payloads are MCU-constant with
+        # a flat quant table so the lossy transform chain is exactly
+        # lossless, and the SQL oracle decodes a BMP twin of the pixels
+        # the decode must reproduce. Exact int64 byte sums must agree.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_pixel_stats
+
+        ds = rd.read_parquet(_twin_media_parquet("jpeg"),
+                             columns=["media_id", "media_type", "payload"])
+        return media_pixel_stats(ds).to_pandas()
+
     def multimodal_frames(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             sample_frames,
@@ -582,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_pixel_stats": multimodal_pixel_stats,
         "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
         "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
+        "multimodal_jpeg_pixel_stats": multimodal_jpeg_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
@@ -1458,6 +1475,11 @@ def oracle_sql() -> dict[str, str]:
         # decoder; oracle decodes the BMP twin
         "multimodal_gif_pixel_stats":
             _bmp_pixel_sql(_twin_media_parquet("gif"), "payload_bmp"),
+        # same contract, JPEG edition: engine runs the real baseline
+        # decoder; MCU-constant pixels + flat quant make the transform
+        # chain bitwise-lossless, so the BMP-twin sums are exact
+        "multimodal_jpeg_pixel_stats":
+            _bmp_pixel_sql(_twin_media_parquet("jpeg"), "payload_bmp"),
         "multimodal_pixel_stats":
             _bmp_pixel_sql(_media_parquet(), "payload"),
         # PCM16 WAV re-parsed from the payload bytes in SQL: header

@@ -2,10 +2,10 @@
 decode kernels behind pipelines/multimodal.py (SURVEY: multimodal decode /
 resize / frame-sample stages).
 
-This container ships no PIL/ffmpeg/librosa, so the transform-coded
-codecs (JPEG/MP3/H.264) remain an explicit NotImplementedError seam — but
-the formats whose only moving parts are DEFLATE (stdlib zlib) or none at
-all are fully documented public specs and are implemented here for real:
+This container ships no PIL/ffmpeg/librosa, so the codecs are built from
+the public specs directly (MP3/H.264 remain an explicit
+NotImplementedError seam; baseline JPEG lives in functions/jpeg.py and is
+real — markers, Huffman, IDCT, 4:2:0, restarts). Implemented here:
 
 * **PNG** (8-bit gray/RGB/RGBA, non-interlaced, all five scanline
   filters, chunk CRCs verified) — DEFLATE via stdlib ``zlib``, filters
@@ -351,8 +351,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.ascontiguousarray(img[:, :, :3])
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from aspseek_ray.functions.jpeg import jpeg_decode
+        img = jpeg_decode(payload)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img
     raise NotImplementedError(
-        "unknown image container (JPEG/WebP/... need PIL, not present)")
+        "unknown image container (WebP/AVIF/... need PIL, not present)")
 
 
 # --------------------------------------------------------------------- GIF

@@ -51,13 +51,15 @@ def _sniff(payload: bytes) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     raise NotImplementedError(
-        "transform-coded/unknown media container (JPEG/MP3/H.264...) — "
-        "decoding these requires PIL/ffmpeg, not present in this container")
+        "unknown media container (WebP/MP3/H.264...) — decoding these "
+        "requires PIL/ffmpeg, not present in this container")
 
 
 class DecodeStage:
@@ -77,7 +79,7 @@ class DecodeStage:
     def _features(self, payload: bytes) -> np.ndarray:
         kind = _sniff(payload)
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
-        if kind in ("bmp", "png", "gif"):
+        if kind in ("bmp", "png", "gif", "jpeg"):
             img = decode_image(payload).astype(np.float32)
             h, w = img.shape[:2]
             luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
@@ -144,9 +146,11 @@ class ResizeStage:
             ids.append(mid)
             ws.append(ow)
             hs.append(oh)
-            # GIF re-encodes as PNG: resize output is truecolor RGB and
-            # PNG carries it losslessly (GIF would need re-quantization)
-            enc = png_encode if _sniff(p) in ("png", "gif") else bmp_encode
+            # GIF/JPEG re-encode as PNG: resize output is truecolor RGB
+            # and PNG carries it losslessly (GIF would need
+            # re-quantization, JPEG another lossy generation)
+            enc = (png_encode if _sniff(p) in ("png", "gif", "jpeg")
+                   else bmp_encode)
             payloads.append(enc(resize_nearest(img, ow, oh)))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "out_w": pa.array(ws, pa.int32()),
@@ -404,6 +408,59 @@ def synth_gif_media_table(n: int = 96, seed: int = 13) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "media_type": pa.array(["image"] * n, pa.string()),
         "payload": pa.array(gifs, pa.binary()),
+        "payload_bmp": pa.array(bmps, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
+def synth_jpeg_media_table(n: int = 96, seed: int = 17) -> pa.Table:
+    """Deterministic baseline-JPEG image table with a BMP TWIN column,
+    same independent-codec contract as :func:`synth_png_media_table` —
+    with the lossy-codec twist that makes a bitwise oracle possible:
+    every image is CONSTANT PER MCU (8x8 for gray/4:4:4, 16x16 for
+    4:2:0) and encoded with a flat all-ones quantization table, so the
+    whole FDCT->quantize->Huffman->IDCT chain is exactly lossless (see
+    functions/jpeg.py docstring). The twin holds the pixels the decode
+    must reproduce: the gray/RGB values themselves, through the JFIF
+    YCbCr round-trip for the color modes (the color formulas are the
+    published JFIF equations, unit-pinned in tests/test_jpeg.py; the
+    oracle here proves the TRANSFORM chain bitwise). Modes cycle
+    gray / 4:4:4 / 4:2:0, and every 4th image adds restart markers so
+    the RSTn resync path is oracle-covered too."""
+    from aspseek_ray.functions.jpeg import (
+        jpeg_encode,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ones = np.ones(64, dtype=np.int32)
+    ids, jpgs, bmps, metas = [], [], [], []
+    for i in range(n):
+        mode = ("gray", "4:4:4", "4:2:0")[i % 3]
+        mcu = 16 if mode == "4:2:0" else 8
+        bw, bh = int(rng.integers(1, 8)), int(rng.integers(1, 8))
+        w, h = bw * mcu, bh * mcu
+        ri = int(rng.integers(1, 4)) if i % 4 == 0 else 0
+        if mode == "gray":
+            cells = rng.integers(0, 256, size=(bh, bw), dtype=np.uint8)
+            img = np.repeat(np.repeat(cells, mcu, 0), mcu, 1)
+            jpgs.append(jpeg_encode(img, quant_override=ones,
+                                    restart_interval=ri))
+            expect = np.repeat(img[:, :, None], 3, axis=2)
+        else:
+            cells = rng.integers(0, 256, size=(bh, bw, 3), dtype=np.uint8)
+            img = np.repeat(np.repeat(cells, mcu, 0), mcu, 1)
+            jpgs.append(jpeg_encode(img, quant_override=ones,
+                                    subsampling=mode, restart_interval=ri))
+            expect = ycbcr_to_rgb(rgb_to_ycbcr(img))
+        ids.append(i)
+        bmps.append(bmp_encode(expect))
+        metas.append({"width": w, "height": h, "duration_ms": 0})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(jpgs, pa.binary()),
         "payload_bmp": pa.array(bmps, pa.binary()),
         "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
     })

@@ -82,10 +82,11 @@ def test_resize_nearest_exact():
 
 
 def test_compressed_formats_are_a_declared_seam():
+    # JPEG/PNG/GIF are now real codecs; WebP/MP3/H.264 stay honest seams
     from aspseek_ray.pipelines.multimodal import DecodeStage
 
     with pytest.raises(NotImplementedError):
-        DecodeStage()._features(b"\xff\xd8\xff\xe0 jpeg bytes")
+        DecodeStage()._features(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_decode_stage_real_features(ray_session):
@@ -303,7 +304,7 @@ def test_decode_image_normalizes_channels():
     rgb = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
     assert (decode_image(bmp_encode(rgb)) == rgb).all()
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # JPEG is real now
 
 
 def test_png_pixel_stats_match_bmp_twin(ray_session):
