@@ -141,7 +141,8 @@ def _twin_media_parquet(kind: str) -> str:
 
         builder = {"png": multimodal.synth_png_media_table,
                    "gif": multimodal.synth_gif_media_table,
-                   "jpeg": multimodal.synth_jpeg_media_table}[kind]
+                   "jpeg": multimodal.synth_jpeg_media_table,
+                   "adpcm": multimodal.synth_adpcm_media_table}[kind]
         out.parent.mkdir(parents=True, exist_ok=True)
         tmp = out.with_suffix(".parquet.tmp")
         pq.write_table(builder(96), tmp)
@@ -477,6 +478,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_pixel_stats(ds).to_pandas()
 
+    def multimodal_adpcm_audio_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check, compressed-audio
+        # edition: the engine decodes real IMA-ADPCM WAVs (4-bit coder,
+        # per-block state headers, block-vectorized reconstruction); the
+        # SQL oracle re-parses a PCM16 twin of the encoder's in-loop
+        # reconstruction — by the codec's defining invariant, the decode
+        # must match it BITWISE, so exact integer stats must agree.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_audio_stats
+
+        ds = rd.read_parquet(_twin_media_parquet("adpcm"),
+                             columns=["media_id", "media_type", "payload"])
+        return media_audio_stats(ds).to_pandas()
+
     def multimodal_frames(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             sample_frames,
@@ -600,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
         "multimodal_jpeg_pixel_stats": multimodal_jpeg_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
+        "multimodal_adpcm_audio_stats": multimodal_adpcm_audio_stats,
         "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
     }
@@ -672,6 +689,54 @@ def _byte_sql(pos: str) -> str:
     return (f"((strpos('0123456789abcdef', substr(hx, 2*({pos})+1, 1)) - 1)"
             f" * 16 + "
             f"strpos('0123456789abcdef', substr(hx, 2*({pos})+2, 1)) - 1)")
+
+
+def _wav_audio_sql(path: str, col: str) -> str:
+    """Exact channel-0 PCM16 stats re-parsed from raw WAV bytes in SQL:
+    header fields at the encoder's canonical RIFF layout (fmt at 12,
+    data at 36), samples as LE 16-bit words with two's-complement sign,
+    zero crossings via a lag window — the independent-codec side of the
+    audio-stats oracles. ``col`` is 'payload' for the plain PCM table
+    and 'payload_pcm' for the ADPCM twin table (the in-loop
+    reconstruction every conforming ADPCM decoder must reproduce)."""
+    return f"""
+        WITH wavs AS (
+          SELECT media_id, lower(hex({col})) AS hx
+          FROM read_parquet('{path}')
+          WHERE media_type = 'audio'),
+        hdr AS (
+          SELECT media_id, hx,
+                 {_byte_sql("22")} + 256 * {_byte_sql("23")} AS ch,
+                 {_byte_sql("24")} + 256 * {_byte_sql("25")}
+                   + 65536 * {_byte_sql("26")}
+                   + 16777216 * {_byte_sql("27")} AS rate,
+                 ({_byte_sql("40")} + 256 * {_byte_sql("41")}
+                   + 65536 * {_byte_sql("42")}
+                   + 16777216 * {_byte_sql("43")}) AS data_size
+          FROM wavs),
+        samp AS (
+          SELECT media_id, rate, data_size // (2 * ch) AS n, i,
+                 CASE WHEN {_byte_sql("44 + i*2*ch + 1")} >= 128
+                      THEN {_byte_sql("44 + i*2*ch")}
+                           + 256 * {_byte_sql("44 + i*2*ch + 1")}
+                           - 65536
+                      ELSE {_byte_sql("44 + i*2*ch")}
+                           + 256 * {_byte_sql("44 + i*2*ch + 1")}
+                 END AS v
+          FROM hdr, unnest(range(0, data_size // (2 * ch))) AS t(i)),
+        flips AS (
+          SELECT media_id, rate, n, v,
+                 CASE WHEN i > 0 AND (v < 0) !=
+                      (lag(v) OVER (PARTITION BY media_id
+                                    ORDER BY i) < 0)
+                      THEN 1 ELSE 0 END AS flip
+          FROM samp)
+        SELECT media_id, n AS n_samples, rate::BIGINT AS rate,
+               max(abs(v))::BIGINT AS peak_abs,
+               sum(v)::DOUBLE / n AS mean_sample,
+               sum(flip)::BIGINT AS zero_cross
+        FROM flips GROUP BY media_id, n, rate
+    """
 
 
 def _bmp_pixel_sql(path: str, col: str) -> str:
@@ -1482,49 +1547,18 @@ def oracle_sql() -> dict[str, str]:
             _bmp_pixel_sql(_twin_media_parquet("jpeg"), "payload_bmp"),
         "multimodal_pixel_stats":
             _bmp_pixel_sql(_media_parquet(), "payload"),
-        # PCM16 WAV re-parsed from the payload bytes in SQL: header
-        # fields at the encoder's canonical RIFF layout (fmt at 12,
-        # data at 36), samples as LE 16-bit words with two's-complement
-        # sign, zero crossings via a lag window. Channel 0, like the
-        # engine stage.
-        "multimodal_audio_stats": f"""
-            WITH wavs AS (
-              SELECT media_id, lower(hex(payload)) AS hx
-              FROM read_parquet('{_media_parquet()}')
-              WHERE media_type = 'audio'),
-            hdr AS (
-              SELECT media_id, hx,
-                     {_byte_sql("22")} + 256 * {_byte_sql("23")} AS ch,
-                     {_byte_sql("24")} + 256 * {_byte_sql("25")}
-                       + 65536 * {_byte_sql("26")}
-                       + 16777216 * {_byte_sql("27")} AS rate,
-                     ({_byte_sql("40")} + 256 * {_byte_sql("41")}
-                       + 65536 * {_byte_sql("42")}
-                       + 16777216 * {_byte_sql("43")}) AS data_size
-              FROM wavs),
-            samp AS (
-              SELECT media_id, rate, data_size // (2 * ch) AS n, i,
-                     CASE WHEN {_byte_sql("44 + i*2*ch + 1")} >= 128
-                          THEN {_byte_sql("44 + i*2*ch")}
-                               + 256 * {_byte_sql("44 + i*2*ch + 1")}
-                               - 65536
-                          ELSE {_byte_sql("44 + i*2*ch")}
-                               + 256 * {_byte_sql("44 + i*2*ch + 1")}
-                     END AS v
-              FROM hdr, unnest(range(0, data_size // (2 * ch))) AS t(i)),
-            flips AS (
-              SELECT media_id, rate, n, v,
-                     CASE WHEN i > 0 AND (v < 0) !=
-                          (lag(v) OVER (PARTITION BY media_id
-                                        ORDER BY i) < 0)
-                          THEN 1 ELSE 0 END AS flip
-              FROM samp)
-            SELECT media_id, n AS n_samples, rate::BIGINT AS rate,
-                   max(abs(v))::BIGINT AS peak_abs,
-                   sum(v)::DOUBLE / n AS mean_sample,
-                   sum(flip)::BIGINT AS zero_cross
-            FROM flips GROUP BY media_id, n, rate
-        """,
+        # PCM16 WAV re-parsed from the payload bytes in SQL
+        # (channel 0, like the engine stage)
+        "multimodal_audio_stats":
+            _wav_audio_sql(_media_parquet(), "payload"),
+        # compressed-audio edition: the engine decodes the real IMA
+        # ADPCM payload (fmt 0x11, block-vectorized state machine);
+        # the oracle re-parses a PCM16 twin of the in-loop
+        # reconstruction — the signal a conforming decoder MUST
+        # reproduce bitwise
+        "multimodal_adpcm_audio_stats":
+            _wav_audio_sql(_twin_media_parquet("adpcm"),
+                           "payload_pcm"),
         # Y4M stream re-parsed in SQL: the ASCII header line is
         # recovered byte-aligned (first 0x0a byte, then unhex->decode),
         # W/H/F extracted by regex, then per-frame Y-plane byte sums

@@ -122,8 +122,13 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt == 0x11:
+                # IMA ADPCM: the real compressed-audio codec
+                from aspseek_ray.functions.adpcm import adpcm_decode
+                return adpcm_decode(data)
             if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only PCM16 WAV supported")
+                raise NotImplementedError(
+                    "only PCM16 and IMA-ADPCM WAV supported")
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)   # chunks are word-aligned

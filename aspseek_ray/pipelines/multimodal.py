@@ -413,6 +413,48 @@ def synth_gif_media_table(n: int = 96, seed: int = 13) -> pa.Table:
     })
 
 
+def synth_adpcm_media_table(n: int = 96, seed: int = 19) -> pa.Table:
+    """Deterministic IMA-ADPCM audio table with a PCM16-WAV TWIN column,
+    the compressed-audio edition of the independent-codec contract:
+    ``payload`` is a real MS IMA-ADPCM WAV (fmt 0x11; tones + noise,
+    mono/stereo, whole and partial final blocks), ``payload_pcm`` a PCM16
+    WAV of the encoder's IN-LOOP reconstruction — the signal every
+    conforming ADPCM decoder must reproduce BITWISE, because an ADPCM
+    encoder is defined by quantizing against the decoder's own state (see
+    functions/adpcm.py). The engine decodes the ADPCM payload; the SQL
+    oracle re-parses the PCM twin byte-by-byte; exact integer sample
+    stats must agree."""
+    from aspseek_ray.functions.adpcm import adpcm_encode
+    from aspseek_ray.functions.media import wav_encode
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, adps, pcms, metas = [], [], [], []
+    for i in range(n):
+        rate = (8000, 16000)[i % 2]
+        ch = (1, 2)[(i // 2) % 2]
+        dur_ms = int(rng.integers(20, 400))
+        nsamp = rate * dur_ms // 1000
+        t = np.arange(nsamp, dtype=np.float64) / rate
+        freq = float(rng.integers(80, 3000))
+        sig = (np.sin(2 * np.pi * freq * t) * float(rng.integers(5000, 25000))
+               + rng.normal(0.0, 400.0, nsamp))
+        s = np.clip(sig, -32768, 32767).astype(np.int16)
+        if ch == 2:
+            s = np.stack([s, np.roll(s, nsamp // 3)], axis=1)
+        payload, recon = adpcm_encode(s, rate=rate)
+        ids.append(i)
+        adps.append(payload)
+        pcms.append(wav_encode(recon, rate))
+        metas.append({"width": 0, "height": 0, "duration_ms": dur_ms})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(adps, pa.binary()),
+        "payload_pcm": pa.array(pcms, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
 def synth_jpeg_media_table(n: int = 96, seed: int = 17) -> pa.Table:
     """Deterministic baseline-JPEG image table with a BMP TWIN column,
     same independent-codec contract as :func:`synth_png_media_table` —
