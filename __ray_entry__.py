@@ -142,7 +142,8 @@ def _twin_media_parquet(kind: str) -> str:
         builder = {"png": multimodal.synth_png_media_table,
                    "gif": multimodal.synth_gif_media_table,
                    "jpeg": multimodal.synth_jpeg_media_table,
-                   "adpcm": multimodal.synth_adpcm_media_table}[kind]
+                   "adpcm": multimodal.synth_adpcm_media_table,
+                   "mjpeg": multimodal.synth_mjpeg_media_table}[kind]
         out.parent.mkdir(parents=True, exist_ok=True)
         tmp = out.with_suffix(".parquet.tmp")
         pq.write_table(builder(96), tmp)
@@ -478,6 +479,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_pixel_stats(ds).to_pandas()
 
+    def multimodal_mjpeg_pixel_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check, compressed-VIDEO
+        # edition: the engine walks the RIFF AVI tree and decodes every
+        # MJPG frame with the real baseline-JPEG decoder, exposing the
+        # stream as a stacked filmstrip; frames are MCU-constant with a
+        # flat quant table (bitwise-lossless transform chain), and the
+        # SQL oracle decodes a tall BMP twin of the stacked frames.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_pixel_stats
+
+        ds = rd.read_parquet(_twin_media_parquet("mjpeg"),
+                             columns=["media_id", "media_type", "payload"])
+        return media_pixel_stats(ds, media_types=("video",)).to_pandas()
+
     def multimodal_adpcm_audio_stats(sf_dir: str):
         # oracle-backed INDEPENDENT-CODEC check, compressed-audio
         # edition: the engine decodes real IMA-ADPCM WAVs (4-bit coder,
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_jpeg_pixel_stats": multimodal_jpeg_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_adpcm_audio_stats": multimodal_adpcm_audio_stats,
+        "multimodal_mjpeg_pixel_stats": multimodal_mjpeg_pixel_stats,
         "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
     }
@@ -739,17 +756,19 @@ def _wav_audio_sql(path: str, col: str) -> str:
     """
 
 
-def _bmp_pixel_sql(path: str, col: str) -> str:
+def _bmp_pixel_sql(path: str, col: str,
+                   media_type: str = "image") -> str:
     """Exact per-channel pixel means re-decoded from raw BMP bytes in
     SQL (hex extraction, BITMAPINFOHEADER offsets, 4-byte row stride,
     BGR order) — the independent-codec side of every pixel-stats oracle:
     ``col`` is 'payload' for the plain BMP table and 'payload_bmp' for
-    the PNG/GIF twin tables."""
+    the PNG/GIF/JPEG twin tables ('video' rows for the MJPEG filmstrip
+    twin)."""
     return f"""
             WITH imgs AS (
               SELECT media_id, lower(hex({col})) AS hx
               FROM read_parquet('{path}')
-              WHERE media_type = 'image'),
+              WHERE media_type = '{media_type}'),
             hdr AS (
               SELECT media_id, hx,
                      {_byte_sql("10")} + 256 * {_byte_sql("11")}
@@ -1545,6 +1564,12 @@ def oracle_sql() -> dict[str, str]:
         # chain bitwise-lossless, so the BMP-twin sums are exact
         "multimodal_jpeg_pixel_stats":
             _bmp_pixel_sql(_twin_media_parquet("jpeg"), "payload_bmp"),
+        # compressed-video edition: engine decodes every MJPG AVI frame
+        # (real JPEG per '00dc' chunk) as a stacked filmstrip; oracle
+        # decodes a tall BMP twin of the same stacked frames
+        "multimodal_mjpeg_pixel_stats":
+            _bmp_pixel_sql(_twin_media_parquet("mjpeg"), "payload_bmp",
+                           media_type="video"),
         "multimodal_pixel_stats":
             _bmp_pixel_sql(_media_parquet(), "payload"),
         # PCM16 WAV re-parsed from the payload bytes in SQL

@@ -19,6 +19,9 @@ real — markers, Huffman, IDCT, 4:2:0, restarts). Implemented here:
 * **WAV** (RIFF/WAVE, PCM16 mono/stereo) — canonical uncompressed audio.
 * **Y4M** (YUV4MPEG2, C444 plain ASCII header + raw frames) — the
   standard uncompressed video stream format ffmpeg reads/writes.
+* **MJPEG/AVI** (RIFF 'AVI ' form, '00dc' chunks each a complete
+  baseline JPEG via functions/jpeg.py) — the compressed video path;
+  frames decode independently, so corpora split at chunk boundaries.
 
 Encoders exist so tests and the synthetic media generator produce REAL
 payload bytes that any external tool could open; decoders are vectorized
@@ -34,7 +37,7 @@ __all__ = [
     "bmp_encode", "bmp_decode", "wav_encode", "wav_decode",
     "y4m_encode", "y4m_decode", "resize_nearest",
     "png_encode", "png_decode", "gif_encode", "gif_decode",
-    "decode_image",
+    "mjpeg_encode", "mjpeg_decode", "decode_image",
 ]
 
 
@@ -362,6 +365,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         if img.ndim == 2:
             return np.repeat(img[:, :, None], 3, axis=2)
         return img
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # MJPG AVI decodes to a vertically-stacked FILMSTRIP
+        # (n*h, w, 3): whole-stream pixel stats see every frame, and the
+        # BMP-twin oracle can pin the full video decode with one image
+        frames, _ = mjpeg_decode(payload)
+        n, h, w, _c = frames.shape
+        return frames.reshape(n * h, w, 3)
     raise NotImplementedError(
         "unknown image container (WebP/AVIF/... need PIL, not present)")
 
@@ -548,3 +558,88 @@ def gif_decode(data: bytes) -> np.ndarray:
             grid = out
         return table[grid]                               # first frame only
     raise ValueError("GIF contains no image block")
+
+
+# ------------------------------------------------------------------- MJPEG
+# Motion JPEG in the RIFF AVI container (both public: the AVI layout is
+# the classic Microsoft 'AVI ' RIFF form; every video frame is a complete
+# baseline JPEG handled by functions/jpeg.py). This is the compressed
+# VIDEO path: each '00dc' chunk decodes independently, so a 100-TB corpus
+# splits at frame/chunk boundaries with no inter-frame state (unlike
+# H.264, which stays a declared seam).
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def mjpeg_encode(frames: np.ndarray, fps: int = 25, **jpeg_kwargs) -> bytes:
+    """(n, h, w) gray or (n, h, w, 3) RGB uint8 -> MJPG AVI bytes; every
+    frame is a standalone baseline JPEG (``jpeg_kwargs`` pass through to
+    :func:`aspseek_ray.functions.jpeg.jpeg_encode`)."""
+    from aspseek_ray.functions.jpeg import jpeg_encode
+
+    if frames.ndim not in (3, 4) or frames.dtype != np.uint8 or not len(frames):
+        raise ValueError("mjpeg_encode expects (n, h, w[, 3]) uint8")
+    n, h, w = frames.shape[:3]
+    payloads = [jpeg_encode(f, **jpeg_kwargs) for f in frames]
+    avih = _riff_chunk(b"avih", struct.pack(
+        "<14I", int(round(1_000_000 / fps)), 0, 0, 0x10, n, 0, 1, 0, w, h,
+        0, 0, 0, 0))
+    strh = _riff_chunk(b"strh", struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n,
+        max(map(len, payloads)), 0xFFFFFFFF, 0, 0, 0, w, h))
+    strf = _riff_chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0))
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", p)
+                                        for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mjpeg_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """MJPG AVI bytes -> ((n, h, w, 3) uint8 RGB frames, fps). Walks the
+    RIFF tree for '00dc'/'00db' frame chunks (each a complete JPEG; gray
+    frames are replicated to RGB); fps comes from strh rate/scale with
+    the avih frame period as fallback."""
+    from aspseek_ray.functions.jpeg import jpeg_decode
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    frames: list[np.ndarray] = []
+    fps = 25
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal fps
+        pos = lo
+        while pos + 8 <= hi:
+            tag, size = struct.unpack_from("<4sI", data, pos)
+            body_lo = pos + 8
+            if tag == b"LIST":
+                walk(body_lo + 4, body_lo + size)
+            elif tag == b"strh" and data[body_lo:body_lo + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", data, body_lo + 20)
+                if scale and rate:
+                    fps = max(1, round(rate / scale))
+            elif tag == b"avih" and not frames:
+                (usec,) = struct.unpack_from("<I", data, body_lo)
+                if usec:
+                    fps = max(1, round(1_000_000 / usec))
+            elif tag in (b"00dc", b"00db") and size:
+                img = jpeg_decode(data[body_lo:body_lo + size])
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                frames.append(img)
+            pos = body_lo + size + (size & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not frames:
+        raise ValueError("AVI contains no MJPG frame chunks")
+    if len({f.shape for f in frames}) != 1:
+        raise ValueError("MJPG frames disagree on dimensions")
+    return np.stack(frames), fps

@@ -55,6 +55,8 @@ def _sniff(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
     raise NotImplementedError(
@@ -95,9 +97,15 @@ class DecodeStage:
                      zc, n / rate, float(np.abs(mono).max()) if n else 0.0,
                      samples.shape[1]]
         else:
-            frames, fps = y4m_decode(payload)
+            if kind == "avi":
+                from aspseek_ray.functions.media import mjpeg_decode
+                frames, fps = mjpeg_decode(payload)
+                y = frames.astype(np.float32) @ np.array(
+                    [0.299, 0.587, 0.114], np.float32)   # RGB -> luma
+            else:
+                frames, fps = y4m_decode(payload)
+                y = frames[..., 0].astype(np.float32)    # Y plane
             n, h, w = frames.shape[:3]
-            y = frames[..., 0].astype(np.float32)
             f[:7] = [n, h, w, fps, y.mean() if n else 0.0,
                      y.std() if n else 0.0, n / fps if fps else 0.0]
         return f
@@ -223,11 +231,17 @@ class PixelStatsStage:
     means from int64 byte sums (one float64 division at the end), so the
     result is bit-reproducible and can be checked by a SQL oracle that
     extracts the same BMP bytes (for PNG payloads, a BMP twin of the same
-    pixels — an independent-codec check). Keeps only image rows; output
-    (media_id, width, height, mean_r, mean_g, mean_b)."""
+    pixels — an independent-codec check). Keeps only ``media_types``
+    rows (default images; MJPEG-AVI video opts in and is decoded as a
+    stacked filmstrip); output (media_id, width, height, mean_r,
+    mean_g, mean_b)."""
+
+    def __init__(self, media_types: tuple = ("image",)):
+        self.media_types = list(media_types)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keep = pa.compute.equal(batch["media_type"], "image")
+        keep = pa.compute.is_in(batch["media_type"],
+                                value_set=pa.array(self.media_types))
         batch = batch.filter(keep)
         ids, ws, hs = [], [], []
         mr, mg, mb = [], [], []
@@ -252,11 +266,14 @@ class PixelStatsStage:
 
 
 def media_pixel_stats(ds: rd.Dataset, concurrency: int = 2,
-                      batch_size: int = 128) -> rd.Dataset:
+                      batch_size: int = 128,
+                      media_types: tuple = ("image",)) -> rd.Dataset:
     """Exact per-image channel means over a MEDIA_SCHEMA dataset — the
     oracle-checkable slice of the decode stage (DecodeStage's float32
-    feature lanes are NOT bit-mirrorable in SQL; integer byte sums are)."""
+    feature lanes are NOT bit-mirrorable in SQL; integer byte sums are).
+    Pass ``media_types=("video",)`` for MJPEG-AVI filmstrip stats."""
     return ds.map_batches(PixelStatsStage, batch_format="pyarrow",
+                          fn_constructor_kwargs={"media_types": media_types},
                           batch_size=batch_size, concurrency=concurrency)
 
 
@@ -451,6 +468,53 @@ def synth_adpcm_media_table(n: int = 96, seed: int = 19) -> pa.Table:
         "media_type": pa.array(["audio"] * n, pa.string()),
         "payload": pa.array(adps, pa.binary()),
         "payload_pcm": pa.array(pcms, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
+def synth_mjpeg_media_table(n: int = 48, seed: int = 29) -> pa.Table:
+    """Deterministic MJPG-AVI video table with a BMP TWIN column — the
+    compressed-video edition of the independent-codec contract. Every
+    frame is CONSTANT PER MCU with a flat quant table (the bitwise
+    exactness contract of functions/jpeg.py), so the whole AVI decode is
+    exactly reproducible; the twin is ONE tall BMP of the frames stacked
+    vertically, matching decode_image's filmstrip view of a video. Modes
+    cycle gray / 4:4:4 / 4:2:0 per video; the SQL oracle decodes the BMP
+    byte-by-byte and the exact channel sums must agree."""
+    from aspseek_ray.functions.jpeg import rgb_to_ycbcr, ycbcr_to_rgb
+    from aspseek_ray.functions.media import mjpeg_encode
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ones = np.ones(64, dtype=np.int32)
+    ids, avis, bmps, metas = [], [], [], []
+    for i in range(n):
+        mode = ("gray", "4:4:4", "4:2:0")[i % 3]
+        mcu = 16 if mode == "4:2:0" else 8
+        bw, bh = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        w, h = bw * mcu, bh * mcu
+        nf = int(rng.integers(1, 7))
+        fps = int(rng.integers(5, 31))
+        if mode == "gray":
+            cells = rng.integers(0, 256, size=(nf, bh, bw), dtype=np.uint8)
+            frames = np.repeat(np.repeat(cells, mcu, 1), mcu, 2)
+            expect = np.repeat(frames[..., None], 3, axis=3)
+            avis.append(mjpeg_encode(frames, fps, quant_override=ones))
+        else:
+            cells = rng.integers(0, 256, size=(nf, bh, bw, 3),
+                                 dtype=np.uint8)
+            frames = np.repeat(np.repeat(cells, mcu, 1), mcu, 2)
+            expect = ycbcr_to_rgb(rgb_to_ycbcr(frames))
+            avis.append(mjpeg_encode(frames, fps, quant_override=ones,
+                                     subsampling=mode))
+        ids.append(i)
+        bmps.append(bmp_encode(expect.reshape(nf * h, w, 3)))
+        metas.append({"width": w, "height": h,
+                      "duration_ms": int(nf * 1000 / fps)})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["video"] * n, pa.string()),
+        "payload": pa.array(avis, pa.binary()),
+        "payload_bmp": pa.array(bmps, pa.binary()),
         "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
     })
 
