@@ -34,8 +34,21 @@ import struct
 
 import numpy as np
 
-__all__ = ["adpcm_encode", "adpcm_decode", "IMA_STEP_TABLE",
-           "IMA_INDEX_TABLE"]
+__all__ = ["adpcm_encode", "adpcm_decode", "adpcm_decode_many",
+           "is_adpcm", "IMA_STEP_TABLE", "IMA_INDEX_TABLE"]
+
+
+def is_adpcm(data: bytes) -> bool:
+    """Cheap sniff: RIFF/WAVE whose fmt chunk carries wFormatTag 0x11."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return False
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        if cid == b"fmt ":
+            return struct.unpack_from("<H", data, pos + 8)[0] == 0x11
+        pos += 8 + size + (size & 1)
+    return False
 
 IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 
@@ -159,10 +172,9 @@ def adpcm_encode(samples: np.ndarray, rate: int = 16_000,
     return payload, recon.reshape(-1, ch)[:n].astype(np.int16)
 
 
-def adpcm_decode(data: bytes) -> tuple[np.ndarray, int]:
-    """IMA-ADPCM WAV bytes -> ((n, ch) int16 samples, rate). Trusts the
-    per-block headers (any conforming encoder decodes, not just ours);
-    truncates to the fact-chunk frame count when present."""
+def _parse_container(data: bytes):
+    """ADPCM WAV bytes -> (pred0 (nb, ch), index0 (nb, ch),
+    nib (nb, ch, spb-1), spb, ch, rate, nframes|None)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV file")
     pos, fmt, raw, nframes = 12, None, None, None
@@ -203,17 +215,74 @@ def adpcm_decode(data: bytes) -> tuple[np.ndarray, int]:
     nib = np.empty((nblocks, ch, packed.shape[2] * 2), dtype=np.int32)
     nib[..., 0::2] = packed & 0x0F
     nib[..., 1::2] = packed >> 4
+    return pred, index, nib, spb, ch, int(rate), nframes
 
-    # sequential within block, vectorized across (blocks, channels)
-    out = np.empty((nblocks, spb, ch), dtype=np.int32)
-    out[:, 0, :] = pred
+
+def _run_streams(pred: np.ndarray, index: np.ndarray,
+                 nib: np.ndarray, spb: int) -> np.ndarray:
+    """The IMA state recurrence over flat independent streams:
+    pred/index (S,), nib (S, spb-1) -> (S, spb) int32 samples. Every
+    (block, channel) pair is one stream, so payloads sharing a
+    samples_per_block can run through ONE loop together — the batch
+    decoder's whole trick."""
+    out = np.empty((len(pred), spb), dtype=np.int32)
+    out[:, 0] = pred
     for t in range(1, spb):
         step = IMA_STEP_TABLE[index]
-        nt = nib[..., t - 1]
+        nt = nib[:, t - 1]
         pred = _reconstruct(pred, step, nt)
         index = np.clip(index + IMA_INDEX_TABLE[nt & 7], 0, 88)
-        out[:, t, :] = pred
-    samples = out.reshape(-1, ch).astype(np.int16)
-    if nframes is not None:
-        samples = samples[:nframes]
-    return samples, int(rate)
+        out[:, t] = pred
+    return out
+
+
+def _assemble(streams: np.ndarray, nblocks: int, ch: int, spb: int,
+              nframes) -> np.ndarray:
+    # (nb*ch, spb) -> (nb, ch, spb) -> (nb*spb, ch)
+    samples = (streams.reshape(nblocks, ch, spb)
+                      .transpose(0, 2, 1)
+                      .reshape(-1, ch).astype(np.int16))
+    return samples[:nframes] if nframes is not None else samples
+
+
+def adpcm_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV bytes -> ((n, ch) int16 samples, rate). Trusts the
+    per-block headers (any conforming encoder decodes, not just ours);
+    truncates to the fact-chunk frame count when present."""
+    pred, index, nib, spb, ch, rate, nframes = _parse_container(data)
+    nblocks = len(pred)
+    streams = _run_streams(pred.reshape(-1), index.reshape(-1),
+                           nib.reshape(nblocks * ch, -1), spb)
+    return _assemble(streams, nblocks, ch, spb, nframes), rate
+
+
+def adpcm_decode_many(payloads: list) -> list:
+    """Batch decoder: [(samples, rate), ...] for a list of ADPCM WAVs.
+    All (block, channel) streams of all payloads that share a
+    samples_per_block are concatenated and run through a SINGLE state
+    loop — the per-sample cost is paid once per batch, not once per
+    clip, which is what makes an actor-pool audio stage batch-vectorized
+    rather than per-row."""
+    parsed = [_parse_container(p) for p in payloads]
+    by_spb: dict[int, list[int]] = {}
+    for i, (_, _, _, spb, _, _, _) in enumerate(parsed):
+        by_spb.setdefault(spb, []).append(i)
+    results: list = [None] * len(payloads)
+    for spb, idxs in by_spb.items():
+        preds = np.concatenate(
+            [parsed[i][0].reshape(-1) for i in idxs])
+        indexes = np.concatenate(
+            [parsed[i][1].reshape(-1) for i in idxs])
+        nibs = np.concatenate(
+            [parsed[i][2].reshape(parsed[i][2].shape[0]
+                                  * parsed[i][2].shape[1], -1)
+             for i in idxs])
+        streams = _run_streams(preds, indexes, nibs, spb)
+        lo = 0
+        for i in idxs:
+            pred, _index, _nib, _spb, ch, rate, nframes = parsed[i]
+            nstreams = pred.size
+            results[i] = (_assemble(streams[lo:lo + nstreams],
+                                    len(pred), ch, spb, nframes), rate)
+            lo += nstreams
+    return results

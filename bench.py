@@ -262,7 +262,10 @@ def run_bench() -> dict:
                      "orders_price_quantiles",
                      "sample_documents", "duplicate_spans",
                      "multimodal_png_pixel_stats",
-                     "multimodal_gif_pixel_stats", "bpe_train_merges"]
+                     "multimodal_gif_pixel_stats",
+                     "multimodal_jpeg_pixel_stats",
+                     "multimodal_mjpeg_pixel_stats",
+                     "multimodal_adpcm_audio_stats", "bpe_train_merges"]
     for name in bench_queries:
         t0 = time.monotonic()
         r = q[name](SF_DIR)

@@ -118,6 +118,28 @@ def test_wav_decode_dispatches_adpcm():
         wav_decode(bytes(bad))
 
 
+def test_batch_decoder_matches_per_clip():
+    # adpcm_decode_many runs ALL payloads' streams through one state
+    # loop; it must be bit-identical to per-clip decoding across mixed
+    # shapes, rates and channel counts
+    from aspseek_ray.functions.adpcm import adpcm_decode_many, is_adpcm
+
+    rng = np.random.Generator(np.random.PCG64(99))
+    payloads = []
+    for i in range(12):
+        n = int(rng.integers(3, 2000))
+        ch = (1, 2)[i % 2]
+        s = np.clip(rng.normal(0, 9000, (n, ch)),
+                    -32768, 32767).astype(np.int16)
+        payloads.append(adpcm_encode(s, rate=(8000, 16000)[i % 2])[0])
+    many = adpcm_decode_many(payloads)
+    for p, (samp, rate) in zip(payloads, many):
+        assert is_adpcm(p)
+        one, r1 = adpcm_decode(p)
+        assert r1 == rate and np.array_equal(one, samp)
+    assert not is_adpcm(wav_encode(_tone(100), 8000))
+
+
 # ------------------------------------------------ oracle twin invariant
 def test_adpcm_audio_stats_match_pcm_twin(ray_session):
     """The invariant behind the multimodal_adpcm_audio_stats oracle:
