@@ -142,6 +142,7 @@ def _twin_media_parquet(kind: str) -> str:
         builder = {"png": multimodal.synth_png_media_table,
                    "gif": multimodal.synth_gif_media_table,
                    "jpeg": multimodal.synth_jpeg_media_table,
+                   "qoi": multimodal.synth_qoi_media_table,
                    "adpcm": multimodal.synth_adpcm_media_table,
                    "mjpeg": multimodal.synth_mjpeg_media_table}[kind]
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -479,6 +480,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_pixel_stats(ds).to_pandas()
 
+    def multimodal_qoi_pixel_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check, QOI edition: the engine
+        # runs the real QOI decoder (all six ops — RUN/INDEX/DIFF/LUMA/
+        # RGB/RGBA over the 64-slot rolling index; lossless by spec);
+        # the SQL oracle re-decodes a BMP twin of the same pixels
+        # byte-by-byte. Exact int64 byte sums must agree.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_pixel_stats
+
+        ds = rd.read_parquet(_twin_media_parquet("qoi"),
+                             columns=["media_id", "media_type", "payload"])
+        return media_pixel_stats(ds).to_pandas()
+
     def multimodal_mjpeg_pixel_stats(sf_dir: str):
         # oracle-backed INDEPENDENT-CODEC check, compressed-VIDEO
         # edition: the engine walks the RIFF AVI tree and decodes every
@@ -631,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
         "multimodal_gif_pixel_stats": multimodal_gif_pixel_stats,
         "multimodal_jpeg_pixel_stats": multimodal_jpeg_pixel_stats,
+        "multimodal_qoi_pixel_stats": multimodal_qoi_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_adpcm_audio_stats": multimodal_adpcm_audio_stats,
         "multimodal_mjpeg_pixel_stats": multimodal_mjpeg_pixel_stats,
@@ -1564,6 +1580,10 @@ def oracle_sql() -> dict[str, str]:
         # chain bitwise-lossless, so the BMP-twin sums are exact
         "multimodal_jpeg_pixel_stats":
             _bmp_pixel_sql(_twin_media_parquet("jpeg"), "payload_bmp"),
+        # same contract, QOI edition: engine runs the real QOI decoder
+        # (lossless by spec); oracle decodes the BMP twin
+        "multimodal_qoi_pixel_stats":
+            _bmp_pixel_sql(_twin_media_parquet("qoi"), "payload_bmp"),
         # compressed-video edition: engine decodes every MJPG AVI frame
         # (real JPEG per '00dc' chunk) as a stacked filmstrip; oracle
         # decodes a tall BMP twin of the same stacked frames

@@ -365,6 +365,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         if img.ndim == 2:
             return np.repeat(img[:, :, None], 3, axis=2)
         return img
+    if payload[:4] == b"qoif":
+        from aspseek_ray.functions.qoi import qoi_decode
+        img = qoi_decode(payload)
+        return np.ascontiguousarray(img[:, :, :3])
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         # MJPG AVI decodes to a vertically-stacked FILMSTRIP
         # (n*h, w, 3): whole-stream pixel stats see every frame, and the

@@ -53,6 +53,8 @@ def _sniff(payload: bytes) -> str:
         return "gif"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:4] == b"qoif":
+        return "qoi"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -81,7 +83,7 @@ class DecodeStage:
     def _features(self, payload: bytes) -> np.ndarray:
         kind = _sniff(payload)
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
-        if kind in ("bmp", "png", "gif", "jpeg"):
+        if kind in ("bmp", "png", "gif", "jpeg", "qoi"):
             img = decode_image(payload).astype(np.float32)
             h, w = img.shape[:2]
             luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
@@ -434,6 +436,52 @@ def synth_gif_media_table(n: int = 96, seed: int = 13) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "media_type": pa.array(["image"] * n, pa.string()),
         "payload": pa.array(gifs, pa.binary()),
+        "payload_bmp": pa.array(bmps, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
+def synth_qoi_media_table(n: int = 96, seed: int = 23) -> pa.Table:
+    """Deterministic QOI image table with a BMP TWIN column, same
+    independent-codec contract as :func:`synth_png_media_table`:
+    ``payload`` is real QOI bytes (RGB and RGBA alternating; image
+    content cycles flat/gradient/palette/noise/alpha-step regions so all
+    six QOI ops — RUN, INDEX, DIFF, LUMA, RGB, RGBA — occur in the
+    corpus), ``payload_bmp`` the same pixels as 24-bit BMP (alpha
+    dropped; alpha never reaches the pixel-stats query)."""
+    from aspseek_ray.functions.qoi import qoi_encode
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, qois, bmps, metas = [], [], [], []
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        ch = (3, 4)[i % 2]
+        mode = i % 5
+        if mode == 0:      # flat -> RUN chunks
+            img = np.full((h, w, ch), int(rng.integers(0, 256)), np.uint8)
+        elif mode == 1:    # smooth gradient -> DIFF/LUMA
+            base = (np.add.outer(np.arange(h), np.arange(w)) % 256)
+            img = np.stack([base] * ch, axis=2).astype(np.uint8)
+            img[..., 1] = (img[..., 1] + rng.integers(
+                0, 3, (h, w), dtype=np.uint8))
+        elif mode == 2:    # tiny palette -> INDEX replays
+            pal = rng.integers(0, 256, (6, ch), dtype=np.uint8)
+            img = pal[rng.integers(0, 6, (h, w))]
+        elif mode == 3:    # noise -> RGB/RGBA literals
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        else:              # alpha steps on RGBA -> RGBA literals
+            img = np.full((h, w, ch), 40, np.uint8)
+            if ch == 4:
+                img[h // 2:, :, 3] = 128
+            img[::3, ::3, 0] = 200
+        ids.append(i)
+        qois.append(qoi_encode(np.ascontiguousarray(img)))
+        bmps.append(bmp_encode(np.ascontiguousarray(img[:, :, :3])))
+        metas.append({"width": w, "height": h, "duration_ms": 0})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(qois, pa.binary()),
         "payload_bmp": pa.array(bmps, pa.binary()),
         "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
     })
