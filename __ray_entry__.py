@@ -143,6 +143,7 @@ def _twin_media_parquet(kind: str) -> str:
                    "gif": multimodal.synth_gif_media_table,
                    "jpeg": multimodal.synth_jpeg_media_table,
                    "qoi": multimodal.synth_qoi_media_table,
+                   "g711": multimodal.synth_g711_media_table,
                    "adpcm": multimodal.synth_adpcm_media_table,
                    "mjpeg": multimodal.synth_mjpeg_media_table}[kind]
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -524,6 +525,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_audio_stats(ds).to_pandas()
 
+    def multimodal_g711_audio_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check, telephony edition: the
+        # engine decodes real G.711 WAVs (mu-law 0x0007 / A-law 0x0006,
+        # normative table expansion); the SQL oracle re-parses a PCM16
+        # twin of the codes' expansion — the signal every conforming
+        # decoder must reproduce bitwise. Exact integer stats must agree.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_audio_stats
+
+        ds = rd.read_parquet(_twin_media_parquet("g711"),
+                             columns=["media_id", "media_type", "payload"])
+        return media_audio_stats(ds).to_pandas()
+
     def multimodal_frames(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             sample_frames,
@@ -649,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_qoi_pixel_stats": multimodal_qoi_pixel_stats,
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_adpcm_audio_stats": multimodal_adpcm_audio_stats,
+        "multimodal_g711_audio_stats": multimodal_g711_audio_stats,
         "multimodal_mjpeg_pixel_stats": multimodal_mjpeg_pixel_stats,
         "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
@@ -1603,6 +1619,12 @@ def oracle_sql() -> dict[str, str]:
         # reproduce bitwise
         "multimodal_adpcm_audio_stats":
             _wav_audio_sql(_twin_media_parquet("adpcm"),
+                           "payload_pcm"),
+        # telephony edition: the engine expands real G.711 codes
+        # (mu-law/A-law normative tables); the oracle re-parses a PCM16
+        # twin of the same expansion — bitwise by the spec's own tables
+        "multimodal_g711_audio_stats":
+            _wav_audio_sql(_twin_media_parquet("g711"),
                            "payload_pcm"),
         # Y4M stream re-parsed in SQL: the ASCII header line is
         # recovered byte-aligned (first 0x0a byte, then unhex->decode),

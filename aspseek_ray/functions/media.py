@@ -118,7 +118,7 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     Walks RIFF chunks, so extra chunks (LIST/fact) are tolerated."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV file")
-    pos, rate, ch, bits, raw = 12, None, None, None, None
+    pos, rate, ch, bits, raw, audio_fmt = 12, None, None, None, None, None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8: pos + 8 + size]
@@ -129,14 +129,19 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
                 # IMA ADPCM: the real compressed-audio codec
                 from aspseek_ray.functions.adpcm import adpcm_decode
                 return adpcm_decode(data)
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt not in (1, 6, 7) or \
+                    bits != (16 if audio_fmt == 1 else 8):
                 raise NotImplementedError(
-                    "only PCM16 and IMA-ADPCM WAV supported")
+                    "only PCM16, G.711 and IMA-ADPCM WAV supported")
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)   # chunks are word-aligned
     if rate is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt in (6, 7):
+        # G.711 A-law / mu-law: table expansion to int16
+        from aspseek_ray.functions.g711 import g711_wav_decode
+        return g711_wav_decode(data, audio_fmt, ch, rate, raw)
     samples = np.frombuffer(raw, dtype="<i2")
     return samples.reshape(-1, ch), int(rate)
 

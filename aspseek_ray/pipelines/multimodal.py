@@ -529,6 +529,49 @@ def synth_adpcm_media_table(n: int = 96, seed: int = 19) -> pa.Table:
     })
 
 
+def synth_g711_media_table(n: int = 96, seed: int = 31) -> pa.Table:
+    """Deterministic G.711 audio table with a PCM16-WAV TWIN column,
+    telephony edition of the independent-codec contract: ``payload`` is
+    a real G.711 WAV (format tags 0x0007 mu-law / 0x0006 A-law
+    alternating, mono/stereo, with the customary fact chunk), and
+    ``payload_pcm`` a PCM16 WAV of the codes' normative table expansion
+    — the signal every conforming G.711 decoder must reproduce BITWISE
+    (the expansion tables ARE the spec; see functions/g711.py). The
+    engine decodes the companded payload; the SQL oracle re-parses the
+    PCM twin byte-by-byte; exact integer sample stats must agree."""
+    from aspseek_ray.functions.g711 import g711_wav_encode
+    from aspseek_ray.functions.media import wav_encode
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, g711s, pcms, metas = [], [], [], []
+    for i in range(n):
+        law = ("ulaw", "alaw")[i % 2]
+        ch = (1, 2)[(i // 2) % 2]
+        rate = 8000
+        dur_ms = int(rng.integers(20, 400))
+        nsamp = rate * dur_ms // 1000
+        t = np.arange(nsamp, dtype=np.float64) / rate
+        freq = float(rng.integers(80, 3400))        # telephony band
+        sig = (np.sin(2 * np.pi * freq * t)
+               * float(rng.integers(2000, 28000))
+               + rng.normal(0.0, 300.0, nsamp))
+        s = np.clip(sig, -32768, 32767).astype(np.int16)
+        if ch == 2:
+            s = np.stack([s, np.roll(s, nsamp // 3)], axis=1)
+        payload, recon = g711_wav_encode(s, rate=rate, law=law)
+        ids.append(i)
+        g711s.append(payload)
+        pcms.append(wav_encode(recon, rate))
+        metas.append({"width": 0, "height": 0, "duration_ms": dur_ms})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(g711s, pa.binary()),
+        "payload_pcm": pa.array(pcms, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
 def synth_mjpeg_media_table(n: int = 48, seed: int = 29) -> pa.Table:
     """Deterministic MJPG-AVI video table with a BMP TWIN column — the
     compressed-video edition of the independent-codec contract. Every
