@@ -144,6 +144,7 @@ def _twin_media_parquet(kind: str) -> str:
                    "jpeg": multimodal.synth_jpeg_media_table,
                    "qoi": multimodal.synth_qoi_media_table,
                    "g711": multimodal.synth_g711_media_table,
+                   "flac": multimodal.synth_flac_media_table,
                    "adpcm": multimodal.synth_adpcm_media_table,
                    "mjpeg": multimodal.synth_mjpeg_media_table}[kind]
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -539,6 +540,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["media_id", "media_type", "payload"])
         return media_audio_stats(ds).to_pandas()
 
+    def multimodal_flac_audio_stats(sf_dir: str):
+        # oracle-backed INDEPENDENT-CODEC check, lossless-compression
+        # edition: the engine decodes real FLAC (rice-coded fixed-
+        # predictor residuals, CRC-8/16, MD5-verified); the SQL oracle
+        # re-parses a PCM16 twin of the ORIGINAL samples — FLAC is
+        # lossless, so decode must reproduce them bitwise. Exact integer
+        # stats must agree.
+        import ray.data as rd
+
+        from aspseek_ray.pipelines.multimodal import media_audio_stats
+
+        ds = rd.read_parquet(_twin_media_parquet("flac"),
+                             columns=["media_id", "media_type", "payload"])
+        return media_audio_stats(ds).to_pandas()
+
     def multimodal_frames(sf_dir: str):
         from aspseek_ray.pipelines.multimodal import (
             sample_frames,
@@ -665,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_adpcm_audio_stats": multimodal_adpcm_audio_stats,
         "multimodal_g711_audio_stats": multimodal_g711_audio_stats,
+        "multimodal_flac_audio_stats": multimodal_flac_audio_stats,
         "multimodal_mjpeg_pixel_stats": multimodal_mjpeg_pixel_stats,
         "multimodal_frame_luma": multimodal_frame_luma,
         "multimodal_frames": multimodal_frames,
@@ -1625,6 +1642,13 @@ def oracle_sql() -> dict[str, str]:
         # twin of the same expansion — bitwise by the spec's own tables
         "multimodal_g711_audio_stats":
             _wav_audio_sql(_twin_media_parquet("g711"),
+                           "payload_pcm"),
+        # lossless-compression edition: the engine decodes real FLAC
+        # (rice residuals + fixed predictors, MD5-verified); the oracle
+        # re-parses a PCM16 twin of the original samples, which a
+        # lossless decode must reproduce bitwise
+        "multimodal_flac_audio_stats":
+            _wav_audio_sql(_twin_media_parquet("flac"),
                            "payload_pcm"),
         # Y4M stream re-parsed in SQL: the ASCII header line is
         # recovered byte-aligned (first 0x0a byte, then unhex->decode),

@@ -57,6 +57,8 @@ def _sniff(payload: bytes) -> str:
         return "qoi"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
     if payload[:9] == b"YUV4MPEG2":
@@ -89,8 +91,12 @@ class DecodeStage:
             luma = img @ np.array([0.299, 0.587, 0.114], np.float32)
             f[:7] = [w, h, img[..., 0].mean(), img[..., 1].mean(),
                      img[..., 2].mean(), luma.std(), w / h]
-        elif kind == "wav":
-            samples, rate = wav_decode(payload)
+        elif kind in ("wav", "flac"):
+            if kind == "flac":
+                from aspseek_ray.functions.flac import flac_decode
+                samples, rate = flac_decode(payload)
+            else:
+                samples, rate = wav_decode(payload)
             mono = samples.astype(np.float32).mean(axis=1) / 32768.0
             n = len(mono)
             zc = (np.count_nonzero(np.signbit(mono[1:]) !=
@@ -300,9 +306,15 @@ class AudioStatsStage:
         pre = dict(zip(adp, adpcm_decode_many([payloads[i] for i in adp]))
                    ) if adp else {}
         ids, ns, rates, peaks, means, zcs = [], [], [], [], [], []
+        from aspseek_ray.functions.flac import flac_decode, is_flac
         for i, (mid, p) in enumerate(zip(batch["media_id"].to_pylist(),
                                          payloads)):
-            samples, rate = pre[i] if i in pre else wav_decode(p or b"")
+            if i in pre:
+                samples, rate = pre[i]
+            elif is_flac(p):
+                samples, rate = flac_decode(p)
+            else:
+                samples, rate = wav_decode(p or b"")
             s = samples[:, 0].astype(np.int64)
             n = len(s)
             ids.append(mid)
@@ -567,6 +579,55 @@ def synth_g711_media_table(n: int = 96, seed: int = 31) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "media_type": pa.array(["audio"] * n, pa.string()),
         "payload": pa.array(g711s, pa.binary()),
+        "payload_pcm": pa.array(pcms, pa.binary()),
+        "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
+def synth_flac_media_table(n: int = 96, seed: int = 37) -> pa.Table:
+    """Deterministic FLAC audio table with a PCM16-WAV TWIN column,
+    lossless edition of the independent-codec contract: ``payload`` is
+    real FLAC bytes (fixed predictors, rice residuals, partition orders
+    cycling, CRC-8/16, STREAMINFO MD5; content cycles tone / constant /
+    noise / ramp so CONSTANT, VERBATIM and every FIXED order occur),
+    ``payload_pcm`` a PCM16 WAV of the ORIGINAL samples — FLAC is
+    lossless, so a conforming decoder must reproduce them bitwise (and
+    functions/flac.py proves it per file against the STREAMINFO MD5).
+    The engine decodes the FLAC payload; the SQL oracle re-parses the
+    PCM twin byte-by-byte; exact integer stats must agree."""
+    from aspseek_ray.functions.flac import flac_encode
+    from aspseek_ray.functions.media import wav_encode
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, flacs, pcms, metas = [], [], [], []
+    for i in range(n):
+        rate = (8000, 16000)[i % 2]
+        ch = (1, 2)[(i // 2) % 2]
+        dur_ms = int(rng.integers(20, 400))
+        nsamp = max(1, rate * dur_ms // 1000)
+        mode = i % 4
+        t = np.arange(nsamp, dtype=np.float64) / rate
+        if mode == 0:      # tone -> FIXED predictors bite
+            freq = float(rng.integers(80, 3000))
+            sig = np.sin(2 * np.pi * freq * t) * 12000
+        elif mode == 1:    # constant -> CONSTANT subframes
+            sig = np.full(nsamp, float(rng.integers(-2000, 2000)))
+        elif mode == 2:    # noise -> high rice params
+            sig = rng.normal(0.0, 9000.0, nsamp)
+        else:              # ramp + noise -> order-1/2 predictors
+            sig = (np.arange(nsamp) % 3000) - 1500 \
+                + rng.normal(0.0, 40.0, nsamp)
+        s = np.clip(sig, -32768, 32767).astype(np.int16)
+        if ch == 2:
+            s = np.stack([s, np.roll(s, nsamp // 3)], axis=1)
+        ids.append(i)
+        flacs.append(flac_encode(s, rate=rate, blocksize=1024))
+        pcms.append(wav_encode(s, rate))
+        metas.append({"width": 0, "height": 0, "duration_ms": dur_ms})
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(flacs, pa.binary()),
         "payload_pcm": pa.array(pcms, pa.binary()),
         "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
     })
