@@ -600,6 +600,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_or_search": search.boolean_or_search,
         "boolean_not_search": search.boolean_not_search,
         "tfidf_search": search.tfidf_search,
+        "bm25_search": search.bm25_search,
+        # same BM25 oracle, forced onto the distributed plan (df groupby +
+        # per-batch partial top-k; doclen rides the posting rows)
+        "bm25_search_distributed": lambda sf_dir:
+            search.bm25_search(sf_dir, driver_max_posting_rows=0),
         "parsed_search": lambda sf_dir: qparser.search_query(
             sf_dir, 'spark AND (window OR scan) NOT "scan slow"'),
         # round-5 forced-distributed physical plans, gated by the SAME
@@ -1750,6 +1755,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(score, 4) AS score FROM s
             ORDER BY score DESC, doc_id LIMIT 10
         """,
+        # Okapi BM25 (k1=1.2, b=0.75; Lucene's ln(1+(N-df+.5)/(df+.5))
+        # idf). dl counts ALL tokens of the doc; avgdl = total tokens / N
+        # over every document — exactly the engine manifest's
+        # total_tokens / n_docs.
+        "bm25_search": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+            tf AS (SELECT doc_id, word, COUNT(*) AS c FROM tok
+                   WHERE word IN ('spark', 'window', 'scan') GROUP BY doc_id, word),
+            df AS (SELECT word, COUNT(DISTINCT doc_id) AS d FROM tok
+                   WHERE word IN ('spark', 'window', 'scan') GROUP BY word),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            a AS (SELECT (SELECT COUNT(*) FROM tok)::DOUBLE / n.n AS avgdl
+                  FROM n),
+            s AS (SELECT tf.doc_id,
+                         SUM(ln(1.0 + (n.n - df.d + 0.5) / (df.d + 0.5))
+                             * tf.c * (1.2 + 1.0)
+                             / (tf.c + 1.2 * (1.0 - 0.75
+                                              + 0.75 * dl.dl / a.avgdl)))
+                             AS score
+                  FROM tf JOIN df ON tf.word = df.word
+                          JOIN dl ON tf.doc_id = dl.doc_id
+                  CROSS JOIN n CROSS JOIN a
+                  GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(score, 4) AS score FROM s
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
         "quality_scores": f"""
             WITH tok AS (
                 SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks,
@@ -1809,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
     # round-5 forced-plan twins: same SQL, different physical plan on the
     # engine side (the plan switch is what the entry exercises)
     sql["boolean_search_distributed"] = sql["boolean_and_search"]
+    sql["bm25_search_distributed"] = sql["bm25_search"]
     sql["parsed_search_distributed"] = sql["parsed_search"]
     sql["jaccard_pairs_longdoc_plan"] = sql["jaccard_pairs"]
     sql["crawl_postings_staged"] = sql["crawl_postings_df"]

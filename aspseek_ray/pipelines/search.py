@@ -55,8 +55,11 @@ def _ensure_doc_postings(sf_dir: str) -> tuple[str, int]:
     the query layer decides. Returns (postings_dir, n_docs)."""
     doc_path = f"{sf_dir}/documents.parquet"
     st = os.stat(doc_path)
+    # :v2 — format bump: posting rows now carry the doc's token count
+    # (doclen, the Lucene-norms denormalization BM25 needs) and the
+    # manifest records total_tokens for avgdl.
     key = hashlib.blake2s(
-        f"{Path(doc_path).resolve()}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        f"{Path(doc_path).resolve()}:{st.st_size}:{st.st_mtime_ns}:v2".encode(),
         digest_size=8).hexdigest()
     out = Path("/tmp/aspseek_ray_postings") / key
     manifest = out / "manifest.json"
@@ -67,15 +70,17 @@ def _ensure_doc_postings(sf_dir: str) -> tuple[str, int]:
     n_docs = ds.count()
 
     def explode(batch: pa.Table) -> pa.Table:
-        words, docs, positions = [], [], []
+        words, docs, positions, doclens = [], [], [], []
         for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             pos_of: dict[str, list[int]] = {}
-            for p, w in enumerate(tokenize(text)):
+            toks = tokenize(text)
+            for p, w in enumerate(toks):
                 pos_of.setdefault(w, []).append(p)
             for w, ps in pos_of.items():
                 words.append(w)
                 docs.append(int(d))
                 positions.append(ps)
+                doclens.append(len(toks))
         warr = pa.array(words, pa.string())
         bucket = np.abs(fnv1a64_arrow(warr)) % NUM_WORD_BUCKETS
         return pa.table({
@@ -83,6 +88,11 @@ def _ensure_doc_postings(sf_dir: str) -> tuple[str, int]:
             "word_bucket": pa.array(bucket.astype(np.int32)),
             "doc_seq": pa.array(docs, pa.int64()),
             "positions": pa.array(positions, pa.list_(pa.int32())),
+            # denormalized per-doc token count (Lucene keeps the same
+            # per-doc norm beside every posting): lets BM25's length
+            # normalization run embarrassingly parallel over posting rows
+            # instead of joining a corpus-sized doclen table.
+            "doclen": pa.array(doclens, pa.int64()),
         })
 
     # build into a pid-unique dir, atomic-rename into place (concurrent
@@ -91,7 +101,20 @@ def _ensure_doc_postings(sf_dir: str) -> tuple[str, int]:
     build.mkdir(parents=True, exist_ok=True)
     (ds.map_batches(explode, batch_format="pyarrow")
        .write_parquet(str(build), partition_cols=["word_bucket"]))
-    (build / "manifest.json").write_text(json.dumps({"n_docs": n_docs}))
+    # total corpus tokens (for BM25 avgdl): every token occurrence sits in
+    # exactly one positions list, so a column-pruned scan of the freshly
+    # written index sums them without re-tokenizing or shuffling.
+    built = sorted(str(f) for f in build.glob("word_bucket=*/*.parquet"))
+    total_tokens = 0
+    if built:
+        total_tokens = int(
+            rd.read_parquet(built, columns=["positions"])
+              .map_batches(lambda b: pa.table({"n": pa.array(
+                  [pc.sum(pc.list_value_length(b["positions"])).as_py() or 0],
+                  pa.int64())}), batch_format="pyarrow")
+              .sum("n") or 0)
+    (build / "manifest.json").write_text(
+        json.dumps({"n_docs": n_docs, "total_tokens": total_tokens}))
     try:
         build.rename(out)
     except OSError:
@@ -150,7 +173,13 @@ def _ensure_stem_forms(pdir: str) -> str:
 DRIVER_MAX_POSTING_ROWS = 2_000_000
 
 
+def _index_manifest(pdir: str) -> dict:
+    return json.loads((Path(pdir) / "manifest.json").read_text())
+
+
 def _term_postings_ds(sf_dir: str, terms: tuple[str, ...],
+                      columns: tuple[str, ...] = ("word", "doc_seq",
+                                                  "positions"),
                       ) -> tuple["rd.Dataset | None", int]:
     """Lazy pruned posting fetch: a Dataset over ONLY the terms'
     word_bucket partitions with a word-pruned row filter (the searchd
@@ -166,7 +195,7 @@ def _term_postings_ds(sf_dir: str, terms: tuple[str, ...],
             paths.extend(sorted(str(f) for f in d.glob("*.parquet")))
     if not paths:
         return None, n_docs
-    ds = rd.read_parquet(paths, columns=["word", "doc_seq", "positions"],
+    ds = rd.read_parquet(paths, columns=list(columns),
                          filter=pc.field("word").isin(list(terms)))
     return ds, n_docs
 
@@ -957,4 +986,96 @@ def tfidf_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     scores = scores.sort_values(["w", "doc_seq"],
                                 ascending=[False, True]).head(k)
     return pa.table({"doc_id": pa.array(scores["doc_seq"].to_numpy(), pa.int64()),
+                     "score": pa.array(np.round(scores["w"].to_numpy(), 4))})
+
+
+def bm25_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
+                k: int = 10, k1: float = 1.2, b: float = 0.75,
+                driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                ) -> pa.Table:
+    """Top-k docs by Okapi BM25 (Robertson et al.; the non-negative
+    ln(1 + (N-df+0.5)/(df+0.5)) idf variant Lucene ships):
+
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+    The length normalization needs each posting's doc length — the index
+    denormalizes doclen onto every posting row at build (the per-doc norms
+    Lucene stores beside the lists), so the whole score is a per-row map
+    over the PRUNED posting partitions + one groupby(doc_seq): no
+    corpus-sized doclen join, no full-index scan. avgdl comes from the
+    build manifest (total_tokens / n_docs). Dual physical plan like
+    tfidf_search: driver pandas below the posting-row switch, distributed
+    (df groupby + per-batch partial top-k) above it; deterministic
+    tiebreak doc_id asc."""
+    pdir, n_docs = _ensure_doc_postings(sf_dir)
+    man = _index_manifest(pdir)
+    avgdl = (man.get("total_tokens", 0) / n_docs) if n_docs else 0.0
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not avgdl:
+        return empty
+    ds, _ = _term_postings_ds(sf_dir, tuple(set(terms)),
+                              columns=("word", "doc_seq", "positions",
+                                       "doclen"))
+    if ds is None:
+        return empty
+
+    def _row_scores(word: pa.Array, positions, doclen, idf: dict,
+                    ) -> np.ndarray:
+        tf = pc.list_value_length(positions).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dl = doclen.to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.array([idf[t] for t in word.to_pylist()])
+        return w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    if ds.count() > driver_max_posting_rows:
+        from ray.data.aggregate import Count, Sum
+
+        dfp = ds.groupby("word").aggregate(Count(alias_name="df")).to_pandas()
+        if not len(dfp):
+            return empty
+        idf = {w: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+               for w, d in zip(dfp["word"], dfp["df"])}
+
+        def weigh(bt: pa.Table) -> pa.Table:
+            return pa.table({"doc_seq": bt["doc_seq"], "w": pa.array(
+                _row_scores(bt["word"], bt["positions"], bt["doclen"], idf))})
+
+        scores = (ds.map_batches(weigh, batch_format="pyarrow")
+                    .groupby("doc_seq").aggregate(Sum("w", alias_name="w")))
+
+        def partial_topk(bt: pa.Table) -> pa.Table:
+            return bt.sort_by([("w", "descending"),
+                               ("doc_seq", "ascending")]).slice(0, k)
+
+        parts = [t for t in ray.get(scores.map_batches(
+            partial_topk, batch_format="pyarrow").materialize().to_arrow_refs())
+            if t.num_rows]
+        if not parts:
+            return empty
+        cand = pa.concat_tables(parts).to_pandas()
+        cand = cand.sort_values(["w", "doc_seq"],
+                                ascending=[False, True]).head(k)
+        return pa.table({"doc_id": pa.array(cand["doc_seq"].to_numpy(),
+                                            pa.int64()),
+                         "score": pa.array(np.round(cand["w"].to_numpy(),
+                                                    4))})
+
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs())
+             if t.num_rows]
+    if not parts:
+        return empty
+    post = pa.concat_tables(parts).combine_chunks()
+    pdf = post.select(["word", "doc_seq"]).to_pandas()
+    df_of = pdf.groupby("word")["doc_seq"].count()
+    idf = {w: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+           for w, d in df_of.items()}
+    pdf["w"] = _row_scores(post["word"].combine_chunks(),
+                           post["positions"].combine_chunks(),
+                           post["doclen"].combine_chunks(), idf)
+    scores = pdf.groupby("doc_seq", as_index=False)["w"].sum()
+    scores = scores.sort_values(["w", "doc_seq"],
+                                ascending=[False, True]).head(k)
+    return pa.table({"doc_id": pa.array(scores["doc_seq"].to_numpy(),
+                                        pa.int64()),
                      "score": pa.array(np.round(scores["w"].to_numpy(), 4))})
