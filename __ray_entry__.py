@@ -594,6 +594,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_large": lambda sf_dir: dedup.embedding_near_dup_pairs(
             sf_dir, threshold=0.4, broadcast_max_rows=0, n_clusters=16,
             n_assign=3),
+        # SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
+        # keep-the-atypical pruning (rows-only: k-means is iterative;
+        # tests/test_semdedup.py pins the pairwise<=eps invariant and a
+        # single-cluster numpy-reference agreement)
+        "semdedup_keep": lambda sf_dir: dedup.semdedup_keep(
+            sf_dir, eps=0.4, n_clusters=8),
         "ann_topk": similarity.brute_topk,
         "phrase_search": search.phrase_search,
         "boolean_and_search": search.boolean_and_search,

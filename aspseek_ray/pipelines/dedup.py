@@ -913,3 +913,77 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
                          "n_dup_grams": pa.array([], pa.int64()),
                          "dup_ratio": pa.array([], pa.float64())})
     return pa.concat_tables(parts)
+
+
+# ------------------------------------------------------------- SemDeDup
+def semdedup_keep(sf_dir: str, eps: float = 0.93, n_clusters: int = 16,
+                  train_iters: int = 4) -> pa.Table:
+    """Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): k-means the
+    embedding space into ``n_clusters``, then WITHIN each cluster drop
+    every vector that has cosine similarity > ``eps`` to any vector
+    FARTHER from the centroid than itself — the paper's keep-the-atypical
+    rule. Guarantee: within a cluster the kept set is pairwise <= eps
+    (a kept vector, by construction, has no > eps neighbor among the
+    vectors after it in centroid-similarity order, which includes every
+    other kept vector).
+
+    Scale shape: the k-means E-step is per-batch partial sums
+    (similarity.train_centroids); vectors shuffle ONCE into their single
+    nearest-cluster group; the O(c^2) pairwise matmul is bounded by the
+    cluster size, never the table size (the paper runs 100k clusters over
+    LAION-scale corpora for exactly this reason). Deterministic: centroid
+    init from the first n_clusters rows, ties broken by vec_id.
+
+    Output: (vec_id, cluster, keep, max_dup_sim) for EVERY input vector,
+    where max_dup_sim is the max cosine to a later-in-order clustermate
+    (0.0 for singletons / last-in-order)."""
+    from aspseek_ray.pipelines.similarity import train_centroids
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    C = train_centroids(emb, n_clusters, train_iters)
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        M = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sim = M @ C_.T
+        a = np.argmax(sim, axis=1)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+            "cluster": pa.array(a.astype(np.int64)),
+            "centroid_sim": pa.array(sim[np.arange(len(a)), a]),
+        })
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        # paper order: closest-to-centroid first, so the kept survivor of
+        # each duplicate set is the one FARTHEST from the centroid
+        g = g.sort_values(["centroid_sim", "vec_id"],
+                          ascending=[False, True])
+        M = np.stack(g["embedding"].to_list())      # pre-normalized
+        n = len(M)
+        if n == 1:
+            return pd.DataFrame({"vec_id": g["vec_id"].to_numpy(),
+                                 "cluster": g["cluster"].to_numpy(),
+                                 "keep": np.array([True]),
+                                 "max_dup_sim": np.array([0.0])})
+        S = M @ M.T
+        iu = np.triu_indices(n, k=1)
+        upper = np.full((n, n), -np.inf)
+        upper[iu] = S[iu]                            # sims to LATER rows only
+        mx = upper.max(axis=1)                       # row-wise: max sim ahead
+        mx[n - 1] = 0.0                              # last row has no 'ahead'
+        return pd.DataFrame({"vec_id": g["vec_id"].to_numpy(),
+                             "cluster": g["cluster"].to_numpy(),
+                             "keep": mx <= eps,
+                             "max_dup_sim": np.round(mx, 4)})
+
+    out = (emb.map_batches(assign, batch_format="pyarrow")
+              .groupby("cluster")
+              .map_groups(dedup_cluster, batch_format="pandas")
+              .to_pandas())
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

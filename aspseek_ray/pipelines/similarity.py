@@ -127,8 +127,12 @@ def train_centroids(ds: "rd.Dataset", n_clusters: int,
         cnt = np.zeros(C.shape[0], np.int64)
         for b in (ds.map_batches(partial, batch_format="pyarrow")
                     .iter_batches(batch_size=4096, batch_format="pyarrow")):
-            acc[b["cluster"].to_numpy()] += np.array(b["vsum"].to_pylist())
-            cnt[b["cluster"].to_numpy()] += b["n"].to_numpy()
+            # np.add.at, NOT fancy-indexed +=: one driver batch holds one
+            # partial row per cluster per INPUT batch, so cluster ids
+            # repeat, and += silently keeps only the last duplicate.
+            idx = b["cluster"].to_numpy()
+            np.add.at(acc, idx, np.array(b["vsum"].to_pylist()))
+            np.add.at(cnt, idx, b["n"].to_numpy())
         nz = cnt > 0
         C[nz] = acc[nz] / cnt[nz, None]
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
