@@ -607,6 +607,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_not_search": search.boolean_not_search,
         "tfidf_search": search.tfidf_search,
         "bm25_search": search.bm25_search,
+        # NEAR/3 proximity over the positional index (unordered); the
+        # oracle mirrors it as a bounded-gap regex over lower(text)
+        "near_search": lambda sf_dir: search.near_search(
+            sf_dir, "scan", "slow", k=3),
+        "near_search_distributed": lambda sf_dir: search.near_search(
+            sf_dir, "scan", "slow", k=3, driver_max_posting_rows=0),
         # same BM25 oracle, forced onto the distributed plan (df groupby +
         # per-batch partial top-k; doclen rides the posting rows)
         "bm25_search_distributed": lambda sf_dir:
@@ -1715,6 +1721,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(lower(text),
                   '(^|[^a-z0-9])scan[^a-z0-9]+slow($|[^a-z0-9])')
         """,
+        # unordered NEAR/3: scan..slow or slow..scan with 0-2 intervening
+        # tokens (position delta 1..3 under the [^a-z0-9]+ tokenizer)
+        "near_search": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                  '(^|[^a-z0-9])scan([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+slow($|[^a-z0-9])')
+               OR regexp_matches(lower(text),
+                  '(^|[^a-z0-9])slow([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+scan($|[^a-z0-9])')
+        """,
         "parsed_search": """
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark($|[^a-z0-9])')
@@ -1848,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
     # engine side (the plan switch is what the entry exercises)
     sql["boolean_search_distributed"] = sql["boolean_and_search"]
     sql["bm25_search_distributed"] = sql["bm25_search"]
+    sql["near_search_distributed"] = sql["near_search"]
     sql["parsed_search_distributed"] = sql["parsed_search"]
     sql["jaccard_pairs_longdoc_plan"] = sql["jaccard_pairs"]
     sql["crawl_postings_staged"] = sql["crawl_postings_df"]

@@ -1079,3 +1079,59 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     return pa.table({"doc_id": pa.array(scores["doc_seq"].to_numpy(),
                                         pa.int64()),
                      "score": pa.array(np.round(scores["w"].to_numpy(), 4))})
+
+
+def near_search(sf_dir: str, w1: str = "scan", w2: str = "slow",
+                k: int = 3, ordered: bool = False,
+                driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                ) -> pa.Table:
+    """Proximity operator NEAR/k over the positional index: doc_ids where
+    ``w1`` and ``w2`` occur within ``k`` token positions (ordered: w1
+    strictly before w2 with position delta in [1, k]; unordered: either
+    direction) — the proximity-ranking primitive of the searchd family
+    (positions are already in every posting row; phrase is the k=1 ordered
+    special case). Dual physical plans like the boolean family: driver
+    numpy below the posting-row switch; above it the two posting lists
+    shuffle ONCE by doc_seq and the position check runs per group —
+    per-task rows bounded by the two terms' df, never the corpus."""
+    words = (w1, w2)
+
+    def _hit(p1: np.ndarray, p2: np.ndarray) -> bool:
+        # exists (a in p1, b in p2) with 1 <= b - a <= k, vectorized via
+        # searchsorted on the sorted position lists
+        lo = np.searchsorted(p2, p1, side="right")
+        hi = np.searchsorted(p2, p1 + k, side="right")
+        fwd = bool(np.any(hi > lo))
+        if ordered or fwd:
+            return fwd
+        lo = np.searchsorted(p1, p2, side="right")
+        hi = np.searchsorted(p1, p2 + k, side="right")
+        return bool(np.any(hi > lo))
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    ds, _ = _term_postings_ds(sf_dir, words)
+    if ds is None:
+        return empty
+    if ds.count() > driver_max_posting_rows:
+        def check(g: pd.DataFrame) -> pd.DataFrame:
+            by_word = {w: np.sort(np.asarray(ps, np.int64))
+                       for w, ps in zip(g["word"], g["positions"])}
+            if w1 in by_word and w2 in by_word and _hit(by_word[w1],
+                                                        by_word[w2]):
+                return pd.DataFrame({"doc_id": [int(g["doc_seq"].iloc[0])]})
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+
+        hits = (ds.groupby("doc_seq")
+                  .map_groups(check, batch_format="pandas").to_pandas())
+        return pa.table({"doc_id": pa.array(
+            np.sort(hits["doc_id"].to_numpy()), pa.int64())})
+
+    post, _ = _term_postings(sf_dir, words)
+    pos_of: dict[int, dict[str, np.ndarray]] = {}
+    for w, d, ps in zip(post["word"].to_pylist(), post["doc_seq"].to_pylist(),
+                        post["positions"].to_pylist()):
+        pos_of.setdefault(int(d), {})[w] = np.sort(np.asarray(ps, np.int64))
+    out = [d for d, m in pos_of.items()
+           if w1 in m and w2 in m and _hit(m[w1], m[w2])]
+    return pa.table({"doc_id": pa.array(np.sort(np.asarray(out, np.int64)),
+                                        pa.int64())})
