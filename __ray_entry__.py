@@ -613,6 +613,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, "scan", "slow", k=3),
         "near_search_distributed": lambda sf_dir: search.near_search(
             sf_dir, "scan", "slow", k=3, driver_max_posting_rows=0),
+        # did-you-mean: SymSpell delete-neighborhood lookup over the
+        # vocabulary sidecar, verified exactly (levenshtein <= 1)
+        "spell_suggest": lambda sf_dir: search.spell_suggest(
+            sf_dir, "sow"),
         # same BM25 oracle, forced onto the distributed plan (df groupby +
         # per-batch partial top-k; doclen rides the posting rows)
         "bm25_search_distributed": lambda sf_dir:
@@ -1720,6 +1724,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
                   '(^|[^a-z0-9])scan[^a-z0-9]+slow($|[^a-z0-9])')
+        """,
+        # did-you-mean: vocabulary words within Levenshtein distance 1,
+        # df = number of documents containing the word
+        "spell_suggest": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents),
+            d AS (SELECT word, COUNT(*) AS df FROM tok GROUP BY word)
+            SELECT word, df FROM d
+            WHERE levenshtein(word, 'sow') <= 1
+            ORDER BY df DESC, word
         """,
         # unordered NEAR/3: scan..slow or slow..scan with 0-2 intervening
         # tokens (position delta 1..3 under the [^a-z0-9]+ tokenizer)

@@ -1135,3 +1135,99 @@ def near_search(sf_dir: str, w1: str = "scan", w2: str = "slow",
            if w1 in m and w2 in m and _hit(m[w1], m[w2])]
     return pa.table({"doc_id": pa.array(np.sort(np.asarray(out, np.int64)),
                                         pa.int64())})
+
+
+# ------------------------------------------------------------ spell suggest
+def _ensure_del_keys(pdir: str) -> str:
+    """Materialize (once, beside the index) the SymSpell deletion-key
+    sidecar: rows (delkey, delkey_bucket, word, df) over the DISTINCT
+    vocabulary, where delkey ranges over the word itself plus every
+    single-character deletion. Two words within Levenshtein distance 1
+    always share a key (the SymSpell delete-neighborhood property), so a
+    suggest query reads only its own keys' partitions — never sweeps the
+    vocabulary. df = posting-row count = docs containing the word."""
+    out = Path(pdir) / "del_keys"
+    if out.exists():
+        return str(out)
+    from ray.data.aggregate import Count
+
+    files = sorted(str(f) for f in Path(pdir).glob("word_bucket=*/*.parquet"))
+    vocab = (rd.read_parquet(files, columns=["word"])
+               .groupby("word").aggregate(Count(alias_name="df")))
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        keys, words, dfs = [], [], []
+        for w, d in zip(batch["word"].to_pylist(), batch["df"].to_pylist()):
+            for kk in {w} | {w[:i] + w[i + 1:] for i in range(len(w))}:
+                keys.append(kk)
+                words.append(w)
+                dfs.append(int(d))
+        karr = pa.array(keys, pa.string())
+        bucket = np.abs(fnv1a64_arrow(karr)) % NUM_WORD_BUCKETS
+        return pa.table({"delkey": karr,
+                         "delkey_bucket": pa.array(bucket.astype(np.int32)),
+                         "word": pa.array(words, pa.string()),
+                         "df": pa.array(dfs, pa.int64())})
+
+    build = Path(f"{out}.tmp{os.getpid()}")
+    build.mkdir(parents=True, exist_ok=True)
+    (vocab.map_batches(to_keys, batch_format="pyarrow")
+          .write_parquet(str(build), partition_cols=["delkey_bucket"]))
+    try:
+        build.rename(out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)  # another builder won
+    return str(out)
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Levenshtein distance <= 1 (insert/delete/substitute)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a with one insertion: find first mismatch, skip it in b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def spell_suggest(sf_dir: str, term: str) -> pa.Table:
+    """Vocabulary words within Levenshtein distance 1 of ``term`` (the
+    did-you-mean primitive), ranked by document frequency — SymSpell
+    (Garbe) delete-neighborhood lookup against the del_keys sidecar: the
+    query generates its own <= len+2 deletion keys on the driver, reads
+    ONLY those keys' hash partitions with a key-pruned row filter, and
+    verifies the (tiny) candidate set exactly. Output (word, df) by
+    (df desc, word asc)."""
+    pdir, _ = _ensure_doc_postings(sf_dir)
+    kdir = _ensure_del_keys(pdir)
+    qkeys = sorted({term} | {term[:i] + term[i + 1:]
+                             for i in range(len(term))})
+    buckets = sorted({int(np.abs(fnv1a64(kk)) % NUM_WORD_BUCKETS)
+                      for kk in qkeys})
+    paths = []
+    for b in buckets:
+        d = Path(kdir) / f"delkey_bucket={b}"
+        if d.exists():
+            paths.extend(sorted(str(f) for f in d.glob("*.parquet")))
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+    if not paths:
+        return empty
+    cand = (rd.read_parquet(paths, columns=["word", "df"],
+                            filter=pc.field("delkey").isin(qkeys))
+            .to_pandas())
+    if not len(cand):
+        return empty
+    cand = cand.drop_duplicates("word")
+    keep = cand[[_lev1(term, w) for w in cand["word"]]]
+    keep = keep.sort_values(["df", "word"], ascending=[False, True])
+    return pa.table({"word": pa.array(keep["word"], pa.string()),
+                     "df": pa.array(keep["df"].to_numpy(), pa.int64())})
