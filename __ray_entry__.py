@@ -22,7 +22,9 @@ from typing import Any
 # input-shaped table deterministically; cached under /tmp per sf)
 # --------------------------------------------------------------------------
 _CORPUS_SIZES = {"0.001": (500, 16), "0.01": (2000, 40), "0.1": (20000, 400)}
-_CORPUS_VERSION = "v4"  # bump when fixtures/gen.py output changes
+_CORPUS_VERSION = "v5"  # bump when fixtures/gen.py output changes
+# (v5: links.parquet gains the intended anchor-text column; page bytes
+# verified identical to v4)
 
 
 def corpus_for(sf_dir: str) -> str:
@@ -195,6 +197,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def crawl_pagerank(sf_dir: str):
         return index_products.pagerank(f"{corpus_for(sf_dir)}/pages.parquet")
+
+    def crawl_anchor_postings(sf_dir: str):
+        # engine parses anchors out of the raw html; the oracle reads the
+        # generator's INDEPENDENT intended (src, dst, anchor) ground truth
+        return index_products.anchor_postings(
+            f"{corpus_for(sf_dir)}/pages.parquet")
 
     def crawl_clone_groups(sf_dir: str):
         # content_hash is the engine's grouping key (O10 checksum); the
@@ -647,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed: unrolled-iteration SQL over the generator's
         # independent intended-link graph (links.parquet)
         "crawl_pagerank": crawl_pagerank,
+        "crawl_anchor_postings": crawl_anchor_postings,
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
         "crawl_postings_staged": crawl_postings_staged,
@@ -1011,6 +1020,19 @@ def oracle_sql() -> dict[str, str]:
         "crawl_recrawl_diff": f"""
             SELECT url, 'unchanged' AS "change"
             FROM read_parquet('{sim_trace}') WHERE status = 200
+        """,
+        # anchor-word index: engine parses raw html; oracle reads the
+        # generator's independent intended (src,dst,anchor) graph. Same
+        # dedup semantics (first doc-order occurrence per (src,dst)).
+        "crawl_anchor_postings": f"""
+            WITH a AS (SELECT src_url, dst_url AS url,
+                              unnest(list_distinct(list_filter(
+                                  regexp_split_to_array(lower(anchor),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> ''))) AS word
+                       FROM read_parquet('{links}'))
+            SELECT word, url, COUNT(*) AS n_refs FROM a
+            GROUP BY word, url
         """,
         "crawl_postings_df": f"""
             WITH tok AS (SELECT url, unnest(list_distinct({_TOKS})) AS word

@@ -23,7 +23,7 @@ from __future__ import annotations
 import re
 
 __all__ = ["extract_text", "extract_links", "extract_text_and_links",
-           "BLOCK_TAGS"]
+           "extract_anchors", "BLOCK_TAGS"]
 
 BLOCK_TAGS = frozenset(
     "html head body title h1 h2 h3 h4 h5 h6 p div br li ul ol "
@@ -133,3 +133,35 @@ def extract_text_and_links(
     s = _strip_noise(s)
     base, hrefs = _links_from_stripped(s)
     return _text_from_stripped(s), base, hrefs
+
+
+_A_PAIR_RE = re.compile(r"(<a\b[^>]*>)(.*?)</a\s*>", re.I | re.S)
+
+
+def extract_anchors(html: bytes | str) -> tuple[str | None, list[tuple[str, str]]]:
+    """(base_href, [(href, anchor_text), ...]) in document order — the
+    <a href> pairs with their visible inner text (the reference's link-word
+    collection: anchor words are indexed against the TARGET url, SURVEY O26
+    citation join / src/hrefs.cpp). Scanned after script/style/comment
+    removal like extract_links; inner markup is dropped, entities decoded
+    with the text rules, whitespace collapsed. <a> tags without an href are
+    skipped; empty anchor text is kept (the caller decides)."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    s = _strip_noise(s)
+    base = None
+    bm = _BASE_RE.search(s)
+    if bm:
+        am = _HREF_ATTR_RE.search(bm.group(0))
+        if am:
+            base = _decode_entities(am.group(1).strip("\"'"))
+    pairs: list[tuple[str, str]] = []
+    for m in _A_PAIR_RE.finditer(s):
+        am = _HREF_ATTR_RE.search(m.group(1))
+        if not am:
+            continue
+        href = _decode_entities(am.group(1).strip("\"'"))
+        inner = _TAG_RE.sub(" ", m.group(2))
+        inner = _ENTITY_RE.sub(_entity_repl, inner)
+        inner = _SPACES_RE.sub(" ", inner.replace("\n", " ")).strip()
+        pairs.append((href, inner))
+    return base, pairs

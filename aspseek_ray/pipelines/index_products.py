@@ -851,3 +851,46 @@ def host_stats(trace: pa.Table) -> pa.Table:
              .aggregate(Sum("n_fetched", alias_name="n_fetched"),
                         Sum("n_ok", alias_name="n_ok"))).to_pandas()
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def anchor_postings(pages_path: str) -> pa.Table:
+    """Anchor-text ("link word") index — the reference indexes the words of
+    each link's visible text against the TARGET url (SURVEY O26 citation
+    collection, src/hrefs.cpp): rows (word, url, n_refs) where n_refs
+    counts source pages whose deduped link to ``url`` carries ``word`` in
+    its anchor. Anchor edges follow extract_link_edges semantics exactly
+    (canonicalize against <base>-or-self, skip self-links, first
+    DOCUMENT-ORDER occurrence wins per (src, dst)); tokens are the standard
+    tokenizer's. One map_batches over html + one (word, url) groupby —
+    anchor text is tiny relative to pages, so the shuffle moves words, not
+    documents."""
+    from ray.data.aggregate import Count
+
+    from aspseek_ray.functions.html import extract_anchors
+    from aspseek_ray.functions.text import tokenize
+    from aspseek_ray.functions.url import canonicalize
+
+    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        words, urls = [], []
+        for url, html in zip(batch["url"].to_pylist(),
+                             batch["html"].to_pylist()):
+            base, pairs = extract_anchors(html)
+            eff = base or url
+            seen: set[str] = set()
+            for href, atext in pairs:
+                c = canonicalize(href, eff)
+                if c is None or c == url or c in seen:
+                    continue
+                seen.add(c)
+                for w in set(tokenize(atext)):
+                    words.append(w)
+                    urls.append(c)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "url": pa.array(urls, pa.string())})
+
+    agg = (ds.map_batches(rows, batch_format="pyarrow")
+             .groupby(["word", "url"]).aggregate(Count(alias_name="n_refs")))
+    out = agg.to_pandas().sort_values(["word", "url"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -153,7 +153,13 @@ def _resolve_link(href: str, base_url: str) -> str | None:
 
 
 def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
-              base_href: str | None, block_scale: int = 1) -> bytes:
+              base_href: str | None, block_scale: int = 1,
+              ) -> tuple[bytes, list[tuple[str, str]]]:
+    """Returns (html_bytes, anchors) where anchors = [(href, anchor_text)]
+    in RENDERED document order — the intended ground truth for the anchor
+    column of links.parquet. Capturing the sentences consumes no extra RNG
+    draws, so page bytes are identical to pre-anchor-tracking output."""
+    anchors: list[tuple[str, str]] = []
     parts = ["<html><head><title>", title, "</title>"]
     if rng.random() < 0.5:
         parts.append(f'<meta name="description" content="{_sentence(rng, 3, 8, 0)}">')
@@ -173,7 +179,9 @@ def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
             body = " ".join(_sentence(rng) for _ in range(block_scale))
             if href_slots and rng.random() < 0.8:
                 a = href_slots.pop()
-                body += f' <a href="{a}">{_sentence(rng, 1, 3, 0)}</a> {_sentence(rng, 2, 6)}'
+                atext = _sentence(rng, 1, 3, 0)
+                anchors.append((a, atext))
+                body += f' <a href="{a}">{atext}</a> {_sentence(rng, 2, 6)}'
             parts.append(f"<p>{body}</p>")
         elif kind < 0.7:
             parts.append(f"<div>{' '.join(_sentence(rng) for _ in range(block_scale))}</div>")
@@ -188,9 +196,11 @@ def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
             parts.append(f"<!-- {_sentence(rng, 2, 5, 0)} -->")
     # remaining anchors get their own paragraphs
     for a in href_slots:
-        parts.append(f'<p><a href="{a}">{_sentence(rng, 1, 3, 0)}</a></p>')
+        atext = _sentence(rng, 1, 3, 0)
+        anchors.append((a, atext))
+        parts.append(f'<p><a href="{a}">{atext}</a></p>')
     parts.append("</body></html>")
-    return "".join(parts).encode("utf-8")
+    return "".join(parts).encode("utf-8"), anchors
 
 
 def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
@@ -234,6 +244,7 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
     htmls: list[bytes] = []
     page_hrefs: list[list[str]] = []   # raw hrefs per page (doc-order-free)
     page_base: list[str | None] = []   # the page's <base href>, if any
+    page_anchors: list[list[tuple[str, str]]] = []  # (href, text), doc order
     for url, host, path in url_list:
         k = int(rng.integers(0, 13))  # k in [0,12] real links
         own = urls_by_host[host]
@@ -281,9 +292,12 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
         hrefs.append("#")
         hrefs.append("mailto:owner@" + host)
         title = _sentence(rng, 2, 6, 0.05)
-        htmls.append(_gen_html(rng, title, hrefs, base_href, block_scale))
+        html_bytes, anchors = _gen_html(rng, title, hrefs, base_href,
+                                        block_scale)
+        htmls.append(html_bytes)
         page_hrefs.append(hrefs)
         page_base.append(base_href)
+        page_anchors.append(anchors)
 
     # exact-clone injection (mirrors / boilerplate dupes — O23 clone
     # detection needs real duplicate bodies): ~clone_fraction of non-root
@@ -301,6 +315,7 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
             # no <base> is present — track that for links.parquet
             page_hrefs[dst] = page_hrefs[src]
             page_base[dst] = page_base[src]
+            page_anchors[dst] = page_anchors[src]
 
     texts = [extract_text(h) for h in htmls]
     n = len(url_list)
@@ -367,18 +382,26 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 40,
     # pages — consumers filter to their node universe.
     l_src: list[str] = []
     l_dst: list[str] = []
-    for (url, _h, _p), hrefs, bh in zip(url_list, page_hrefs, page_base):
+    l_anchor: list[str] = []
+    for (url, _h, _p), anchors, bh in zip(url_list, page_anchors, page_base):
         base = bh or url
         seen_l: set[str] = set()
-        for h in hrefs:
+        # iterate in RENDERED document order so the anchor text attributed
+        # to a deduped (src, dst) edge is the first occurrence's — the same
+        # rule the engine's extract_anchors pass applies. The (src, dst)
+        # set is unchanged from the pre-anchor builder (every href renders
+        # exactly once).
+        for h, atext in anchors:
             c = _resolve_link(h, base)
             if c is None or c == url or c in seen_l:
                 continue
             seen_l.add(c)
             l_src.append(url)
             l_dst.append(c)
+            l_anchor.append(atext)
     links = pa.table({"src_url": pa.array(l_src, pa.string()),
-                      "dst_url": pa.array(l_dst, pa.string())})
+                      "dst_url": pa.array(l_dst, pa.string()),
+                      "anchor": pa.array(l_anchor, pa.string())})
     pq.write_table(links, out / "links.parquet")
 
     return {
