@@ -322,6 +322,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tuple(_vocab()[:3]), damping_rank=0.0)
         return t.select(["url", "score"])
 
+    def crawl_anchor_search(sf_dir: str):
+        # link-word boosted ranking: body tf-idf over the crawl store +
+        # alpha x anchor hits from the word-bucketed anchor index; the
+        # oracle composes the crawl_ranked_tfidf SQL with the generator's
+        # intended (src,dst,anchor) ground truth
+        res = _run_crawl(sf_dir, "q_anchorsearch")
+        from fixtures.gen import _vocab
+
+        return search.anchor_boosted_search(
+            f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
+            tuple(_vocab()[:3]))
+
+    def crawl_anchor_search_scaleplan(sf_dir: str):
+        # forced-distributed twin (driver_max_docs=0), same oracle
+        res = _run_crawl(sf_dir, "q_anchorsearch")
+        from fixtures.gen import _vocab
+
+        return search.anchor_boosted_search(
+            f"{res.out_dir}/store", f"{corpus_for(sf_dir)}/pages.parquet",
+            tuple(_vocab()[:3]), driver_max_docs=0)
+
     def crawl_search_scaleplan(sf_dir: str):
         # the DISTRIBUTED ranked-search plan forced on (driver_max_docs=0)
         # — same semantics as crawl_site_search; ORACLE-backed against the
@@ -665,6 +686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl_diff": crawl_recrawl_diff,
         "crawl_excerpts": crawl_excerpts,
         "crawl_ranked_tfidf": crawl_ranked_tfidf,
+        "crawl_anchor_search": crawl_anchor_search,
+        "crawl_anchor_search_scaleplan": crawl_anchor_search_scaleplan,
         # oracle-backed since r4: full pagerank-blend ranked search (flat,
         # site-grouped, forced-distributed, and qparser-admissible), each
         # against the composed tf-idf x unrolled-pagerank SQL
@@ -1147,6 +1170,46 @@ def oracle_sql() -> dict[str, str]:
                           least(length(text), length(pre) + length(term) + 40)
                           - greatest(0, length(pre) - 40)) AS excerpt
             FROM m WHERE hit
+        """,
+        # link-word boosted ranking: crawl_ranked_tfidf's body scoring
+        # FULL OUTER JOINed with anchor hits from the intended
+        # (src,dst,anchor) graph, targets restricted to stored urls;
+        # alpha = 0.5 pinned on both sides
+        "crawl_anchor_search": f"""
+            WITH stored AS (
+              SELECT t.url, p.text
+              FROM read_parquet('{sim_trace}') t
+              JOIN read_parquet('{pages}') p USING (url)
+              WHERE t.status = 200),
+            tok AS (SELECT url, unnest({_TOKS}) AS word FROM stored),
+            tf AS (SELECT url, word, COUNT(*) AS c FROM tok
+                   WHERE word IN (SELECT unnest({_EXCERPT_TERMS_SQL}))
+                   GROUP BY url, word),
+            df AS (SELECT word, COUNT(DISTINCT url) AS d FROM tok
+                   WHERE word IN (SELECT unnest({_EXCERPT_TERMS_SQL}))
+                   GROUP BY word),
+            n AS (SELECT COUNT(*) AS n FROM stored),
+            body AS (SELECT tf.url,
+                            SUM(tf.c * ln(CAST(n.n AS DOUBLE) / df.d)) AS w
+                     FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+                     GROUP BY tf.url),
+            a AS (SELECT dst_url AS url,
+                         unnest(list_distinct(list_filter(
+                             regexp_split_to_array(lower(anchor),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> ''))) AS word
+                  FROM read_parquet('{links}')),
+            ahits AS (SELECT a.url, COUNT(*) AS hits FROM a
+                      JOIN (SELECT DISTINCT url FROM stored) s2
+                        ON a.url = s2.url
+                      WHERE a.word IN (SELECT unnest({_EXCERPT_TERMS_SQL}))
+                      GROUP BY a.url),
+            s AS (SELECT COALESCE(b.url, ah.url) AS url,
+                         COALESCE(b.w, 0.0) + 0.5 * COALESCE(ah.hits, 0)
+                             AS score
+                  FROM body b FULL OUTER JOIN ahits ah ON b.url = ah.url)
+            SELECT url, ROUND(score, 4) AS score FROM s
+            ORDER BY score DESC, url LIMIT 10
         """,
         "crawl_ranked_tfidf": f"""
             WITH stored AS (
@@ -1900,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
     sql["boolean_search_distributed"] = sql["boolean_and_search"]
     sql["bm25_search_distributed"] = sql["bm25_search"]
     sql["near_search_distributed"] = sql["near_search"]
+    sql["crawl_anchor_search_scaleplan"] = sql["crawl_anchor_search"]
     sql["parsed_search_distributed"] = sql["parsed_search"]
     sql["jaccard_pairs_longdoc_plan"] = sql["jaccard_pairs"]
     sql["crawl_postings_staged"] = sql["crawl_postings_df"]

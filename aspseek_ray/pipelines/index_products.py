@@ -853,19 +853,10 @@ def host_stats(trace: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def anchor_postings(pages_path: str) -> pa.Table:
-    """Anchor-text ("link word") index — the reference indexes the words of
-    each link's visible text against the TARGET url (SURVEY O26 citation
-    collection, src/hrefs.cpp): rows (word, url, n_refs) where n_refs
-    counts source pages whose deduped link to ``url`` carries ``word`` in
-    its anchor. Anchor edges follow extract_link_edges semantics exactly
-    (canonicalize against <base>-or-self, skip self-links, first
-    DOCUMENT-ORDER occurrence wins per (src, dst)); tokens are the standard
-    tokenizer's. One map_batches over html + one (word, url) groupby —
-    anchor text is tiny relative to pages, so the shuffle moves words, not
-    documents."""
-    from ray.data.aggregate import Count
-
+def _anchor_rows_ds(pages_path: str) -> rd.Dataset:
+    """Lazy (word, url) anchor-occurrence rows — the shared extraction
+    stage of anchor_postings (collected Table) and ensure_anchor_index
+    (partitioned on-disk index)."""
     from aspseek_ray.functions.html import extract_anchors
     from aspseek_ray.functions.text import tokenize
     from aspseek_ray.functions.url import canonicalize
@@ -890,7 +881,67 @@ def anchor_postings(pages_path: str) -> pa.Table:
         return pa.table({"word": pa.array(words, pa.string()),
                          "url": pa.array(urls, pa.string())})
 
-    agg = (ds.map_batches(rows, batch_format="pyarrow")
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
+def anchor_postings(pages_path: str) -> pa.Table:
+    """Anchor-text ("link word") index — the reference indexes the words of
+    each link's visible text against the TARGET url (SURVEY O26 citation
+    collection, src/hrefs.cpp): rows (word, url, n_refs) where n_refs
+    counts source pages whose deduped link to ``url`` carries ``word`` in
+    its anchor. Anchor edges follow extract_link_edges semantics exactly
+    (canonicalize against <base>-or-self, skip self-links, first
+    DOCUMENT-ORDER occurrence wins per (src, dst)); tokens are the standard
+    tokenizer's. One map_batches over html + one (word, url) groupby —
+    anchor text is tiny relative to pages, so the shuffle moves words, not
+    documents."""
+    agg = (_anchor_rows_ds(pages_path)
              .groupby(["word", "url"]).aggregate(Count(alias_name="n_refs")))
     out = agg.to_pandas().sort_values(["word", "url"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ensure_anchor_index(pages_path: str) -> str:
+    """Build (once, disk-cached by source identity) the word_bucket-
+    partitioned ANCHOR index for a pages table: the anchor_postings rows
+    (word, word_bucket, url, n_refs) written as parquet partitioned by
+    word_bucket — so an anchor-boosted query reads only its terms'
+    partitions, exactly like the body postings index. Same atomic
+    rename-into-place protocol as the search-side index builds."""
+    import hashlib
+    import json
+    import os
+    from pathlib import Path
+
+    st = os.stat(pages_path)
+    key = hashlib.blake2s(
+        f"{Path(pages_path).resolve()}:{st.st_size}:{st.st_mtime_ns}:anchor1"
+        .encode(), digest_size=8).hexdigest()
+    out = Path("/tmp/aspseek_ray_anchor_idx") / key
+    if (out / "_done").exists():
+        return str(out)
+    # fully distributed: anchor rows -> one (word, url) groupby -> bucket
+    # stamp -> partitioned write; the aggregated index never touches the
+    # driver (anchor_postings' collected-Table form is the oracle surface,
+    # not the build path)
+    agg = _anchor_rows_ds(pages_path).groupby(["word", "url"]).aggregate(
+        Count(alias_name="n_refs"))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        bucket = (np.abs(fnv1a64_arrow(batch["word"].combine_chunks()))
+                  % NUM_WORD_BUCKETS)
+        return batch.append_column("word_bucket",
+                                   pa.array(bucket.astype(np.int32)))
+
+    build = Path(f"{out}.tmp{os.getpid()}")
+    build.mkdir(parents=True, exist_ok=True)
+    (agg.map_batches(stamp, batch_format="pyarrow")
+        .write_parquet(str(build), partition_cols=["word_bucket"]))
+    (build / "_done").write_text(json.dumps({"ok": True}))
+    try:
+        build.rename(out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)  # another builder won
+    return str(out)

@@ -1231,3 +1231,171 @@ def spell_suggest(sf_dir: str, term: str) -> pa.Table:
     keep = keep.sort_values(["df", "word"], ascending=[False, True])
     return pa.table({"word": pa.array(keep["word"], pa.string()),
                      "df": pa.array(keep["df"].to_numpy(), pa.int64())})
+
+
+def anchor_boosted_search(store_dir: str, pages_path: str,
+                          terms: tuple[str, ...] = (), k: int = 10,
+                          alpha: float = 0.5,
+                          driver_max_docs: int = 100_000) -> pa.Table:
+    """Ranked search with the reference's LINK-WORD boost: score(url) =
+    body tf-idf (sum_t tf*ln(N/df) over the stored copies, the
+    crawl_ranked_tfidf scoring) + ``alpha`` x anchor hits, where anchor
+    hits = sum over query terms of n_refs(word, url) from the anchor-text
+    index (how many distinct pages link to ``url`` with the term in their
+    anchor). A stored url referenced only by anchors still ranks — the
+    reference indexes link words against targets it never parsed.
+
+    Scale shape: the anchor side reads ONLY the query terms' partitions
+    of the cached word-bucketed anchor index (query-sized); the body side
+    is df-bounded (docs containing >= 1 term). Dual plans: driver pandas
+    under ``driver_max_docs`` store rows; above it body scoring runs
+    distributed (tf rows -> groupby(url).sum), the query-sized anchor map
+    rides a closure, blending happens before any top-k, and the driver
+    sees O(k x blocks) candidate rows. Output (url, score) top-k by
+    (score desc, url)."""
+    import pyarrow.dataset as pads
+
+    from aspseek_ray.pipelines.index_products import (
+        NUM_WORD_BUCKETS as ANCHOR_BUCKETS, ensure_anchor_index)
+
+    term_set = frozenset(terms)
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "score": pa.array([], pa.float64())})
+    store = rd.read_parquet(store_dir, columns=["url", "text"])
+    n_docs = store.count()
+    if n_docs == 0 or not terms:
+        return empty
+
+    # --- anchor hits for the query terms (pruned partition read) --------
+    adir = ensure_anchor_index(pages_path)
+    buckets = sorted({int(np.abs(fnv1a64(w)) % ANCHOR_BUCKETS)
+                      for w in term_set})
+    apaths = []
+    for b in buckets:
+        d = Path(adir) / f"word_bucket={b}"
+        if d.exists():
+            apaths.extend(sorted(str(f) for f in d.glob("*.parquet")))
+    hits: dict[str, float] = {}
+    if apaths:
+        at = (rd.read_parquet(apaths, columns=["url", "n_refs"],
+                              filter=pc.field("word").isin(list(term_set)))
+              .to_pandas())
+        if len(at):
+            hits = at.groupby("url")["n_refs"].sum().astype(float).to_dict()
+
+    tf = store.map_batches(_tf_rows_fn(term_set, None),
+                           batch_format="pyarrow")
+
+    if n_docs > driver_max_docs:
+        from ray.data.aggregate import Count, Sum
+
+        # tf rows are one per (url, term), so a plain count is the df
+        dfp = tf.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+        idf = ({t: math.log(n_docs / d)
+                for t, d in zip(dfp["term"], dfp["df"]) if d}
+               if len(dfp) else {})
+
+        def weigh(b: pa.Table) -> pa.Table:
+            w = (b["tf"].to_numpy().astype(np.float64)
+                 * np.array([idf.get(t, 0.0) for t in b["term"].to_pylist()]))
+            return pa.table({"url": b["url"], "w": pa.array(w)})
+
+        body = (tf.map_batches(weigh, batch_format="pyarrow")
+                  .groupby("url").aggregate(Sum("w", alias_name="w")))
+
+        hits_ref = ray.put(hits)
+        seen_urls: set[str] = set()
+
+        def blend(b: pa.Table) -> pa.Table:
+            h = ray.get(hits_ref)
+            urls = b["url"].to_pylist()
+            s = (b["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+                 + alpha * np.array([h.get(u, 0.0) for u in urls]))
+            return pa.table({"url": b["url"], "score": pa.array(s)})
+
+        def partial_topk(b: pa.Table) -> pa.Table:
+            return b.sort_by([("score", "descending"),
+                              ("url", "ascending")]).slice(0, k)
+
+        body = body.materialize()
+        parts = [t for t in ray.get(
+            body.map_batches(blend, batch_format="pyarrow")
+                .map_batches(partial_topk, batch_format="pyarrow")
+                .materialize().to_arrow_refs()) if t.num_rows]
+        cand = (pa.concat_tables(parts).to_pandas() if parts
+                else pd.DataFrame({"url": [], "score": []}))
+        # which anchor-hit urls already have a body score: probe the body
+        # Dataset with the QUERY-SIZED hit set (never collect all of body)
+        scored_urls: set[str] = set()
+        if hits:
+            hset = pa.array(list(hits), pa.string())
+
+            def probe(b: pa.Table) -> pa.Table:
+                return b.filter(pc.is_in(b["url"],
+                                         value_set=hset)).select(["url"])
+
+            for t in ray.get(body.map_batches(
+                    probe, batch_format="pyarrow")
+                    .materialize().to_arrow_refs()):
+                scored_urls.update(t["url"].to_pylist())
+        # anchor-only candidates: in the store, hits > 0, no body score
+        aonly = sorted(set(hits) - scored_urls)
+        if aonly:
+            aset = frozenset(aonly)
+
+            def member(b: pa.Table) -> pa.Table:
+                keep = pc.is_in(b["url"],
+                                value_set=pa.array(list(aset), pa.string()))
+                return b.filter(keep).select(["url"])
+
+            stored_aonly = {u for t in ray.get(
+                store.map_batches(member, batch_format="pyarrow")
+                     .materialize().to_arrow_refs())
+                for u in t["url"].to_pylist()}
+            if stored_aonly:
+                extra = pd.DataFrame({
+                    "url": sorted(stored_aonly),
+                    "score": [alpha * hits[u] for u in sorted(stored_aonly)]})
+                cand = pd.concat([cand, extra], ignore_index=True)
+        if not len(cand):
+            return empty
+        cand = cand.sort_values(["score", "url"],
+                                ascending=[False, True]).head(k)
+        return pa.table({"url": pa.array(cand["url"].tolist(), pa.string()),
+                         "score": pa.array(np.round(
+                             cand["score"].to_numpy(), 4))})
+
+    # --- driver plan -----------------------------------------------------
+    parts = [t for t in ray.get(tf.materialize().to_arrow_refs())
+             if t.num_rows]
+    body_pdf = (pa.concat_tables(parts).to_pandas() if parts
+                else pd.DataFrame({"url": [], "term": [], "tf": []}))
+    scores: dict[str, float] = {}
+    if len(body_pdf):
+        df_of = body_pdf.groupby("term")["url"].nunique()
+        idf = {t: math.log(n_docs / d) for t, d in df_of.items()}
+        body_pdf["w"] = body_pdf["tf"] * body_pdf["term"].map(idf)
+        scores = body_pdf.groupby("url")["w"].sum().to_dict()
+    aonly = set(hits) - set(scores)
+    if aonly:
+        stored = set()
+        aset = frozenset(aonly)
+
+        def member(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(b["url"],
+                            value_set=pa.array(list(aset), pa.string()))
+            return b.filter(keep).select(["url"])
+
+        for t in ray.get(store.map_batches(member, batch_format="pyarrow")
+                         .materialize().to_arrow_refs()):
+            stored.update(t["url"].to_pylist())
+        for u in stored:
+            scores[u] = 0.0
+    for u in list(scores):
+        scores[u] += alpha * hits.get(u, 0.0)
+    if not scores:
+        return empty
+    out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({"url": pa.array([u for u, _ in out], pa.string()),
+                     "score": pa.array(np.round(
+                         np.array([s for _, s in out]), 4))})

@@ -47,3 +47,34 @@ def test_anchor_postings_matches_intended_graph(tmp_path, ray_session):
     want["n_refs"] = want["n_refs"].astype(got["n_refs"].dtype)
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 100
+
+
+def test_anchor_boosted_search_plans_equal(tmp_path, ray_session):
+    """Driver and forced-distributed anchor-boost plans are bitwise equal,
+    and the boost actually reorders vs pure body tf-idf on the fixture."""
+    from fixtures.gen import generate_corpus
+
+    from aspseek_ray.pipelines import search
+    from aspseek_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    d = tmp_path / "c"
+    generate_corpus(str(d), n_pages=200, n_hosts=8, seed=9)
+    out = tmp_path / "run"
+    run_crawl(str(d), str(out), CrawlConfig(per_host_per_round=50,
+                                            max_rounds=3, num_shards=4,
+                                            num_page_buckets=8))
+    from fixtures.gen import _vocab
+
+    store, pages = f"{out}/store", f"{d}/pages.parquet"
+    terms = tuple(_vocab()[:3])
+    a = search.anchor_boosted_search(store, pages, terms)
+    b = search.anchor_boosted_search(store, pages, terms,
+                                     driver_max_docs=0)
+    assert a.equals(b), (a.to_pandas(), b.to_pandas())
+    assert a.num_rows > 0
+    # alpha=0 degrades to pure body ranking; boost must change some score
+    base = search.anchor_boosted_search(store, pages, terms, alpha=0.0)
+    sa = dict(zip(a["url"].to_pylist(), a["score"].to_pylist()))
+    sb = dict(zip(base["url"].to_pylist(), base["score"].to_pylist()))
+    shared = set(sa) & set(sb)
+    assert any(sa[u] != sb[u] for u in shared)
