@@ -646,6 +646,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocabulary sidecar, verified exactly (levenshtein <= 1)
         "spell_suggest": lambda sf_dir: search.spell_suggest(
             sf_dir, "sow"),
+        # "more like this": cosine over full tf-idf vectors, seed doc 7;
+        # candidates from the seed terms' pruned posting partitions,
+        # norms from the doc_bucket-partitioned sidecar
+        "similar_docs": lambda sf_dir: search.similar_docs(sf_dir, 7),
         # same BM25 oracle, forced onto the distributed plan (df groupby +
         # per-batch partial top-k; doclen rides the posting rows)
         "bm25_search_distributed": lambda sf_dir:
@@ -1809,6 +1813,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
                   '(^|[^a-z0-9])scan[^a-z0-9]+slow($|[^a-z0-9])')
+        """,
+        # more-like-this: cosine between FULL tf-idf vectors (w =
+        # tf*ln(N/df)), seed doc 7, zero-dot candidates dropped
+        "similar_docs": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+            tf AS (SELECT doc_id, word, COUNT(*) AS c FROM tok
+                   GROUP BY doc_id, word),
+            df AS (SELECT word, COUNT(DISTINCT doc_id) AS d FROM tok
+                   GROUP BY word),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            w AS (SELECT tf.doc_id, tf.word,
+                         tf.c * ln(CAST(n.n AS DOUBLE) / df.d) AS w
+                  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+            nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w
+                   GROUP BY doc_id),
+            q AS (SELECT word, w FROM w WHERE doc_id = 7),
+            dot AS (SELECT w.doc_id, SUM(w.w * q.w) AS dot
+                    FROM w JOIN q ON w.word = q.word
+                    WHERE w.doc_id <> 7 GROUP BY w.doc_id),
+            s AS (SELECT dot.doc_id,
+                         dot.dot / ((SELECT nm FROM nm WHERE doc_id = 7)
+                                    * nm.nm) AS score
+                  FROM dot JOIN nm ON dot.doc_id = nm.doc_id
+                  WHERE dot.dot > 0)
+            SELECT doc_id, ROUND(score, 4) AS score FROM s
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         # did-you-mean: vocabulary words within Levenshtein distance 1,
         # df = number of documents containing the word

@@ -1399,3 +1399,133 @@ def anchor_boosted_search(store_dir: str, pages_path: str,
     return pa.table({"url": pa.array([u for u, _ in out], pa.string()),
                      "score": pa.array(np.round(
                          np.array([s for _, s in out]), 4))})
+
+
+# ---------------------------------------------------------- similar docs
+def _ensure_doc_norms(pdir: str, n_docs: int) -> str:
+    """Materialize (once, beside the index) the tf-idf vector NORMS
+    sidecar: rows (doc_seq, doc_bucket, norm) with
+    norm = sqrt(sum_w (tf * ln(N/df))^2) over the doc's full vocabulary —
+    the denominator cosine needs. df is word-bucket-LOCAL (every posting
+    row of a word lives in exactly one bucket partition), so the build is
+    one map_groups per word_bucket emitting per-doc partial squared sums
+    + one groupby(doc_seq) — no vocabulary-sized join, nothing on the
+    driver. Partitioned by doc_bucket = doc_seq % NUM_WORD_BUCKETS for
+    pruned candidate-norm reads."""
+    out = Path(pdir) / "doc_norms"
+    if out.exists():
+        return str(out)
+    from ray.data.aggregate import Sum
+
+    files = sorted(str(f) for f in Path(pdir).glob("word_bucket=*/*.parquet"))
+
+    def partial_sq(g: pd.DataFrame) -> pd.DataFrame:
+        tf = np.array([len(p) for p in g["positions"]], np.float64)
+        df_of = g.groupby("word")["doc_seq"].transform("count").to_numpy()
+        w = tf * np.log(n_docs / df_of)
+        acc = pd.DataFrame({"doc_seq": g["doc_seq"].to_numpy(), "sq": w * w})
+        return acc.groupby("doc_seq", as_index=False)["sq"].sum()
+
+    sums = (rd.read_parquet(files, columns=["word", "doc_seq", "positions",
+                                            "word_bucket"])
+              .groupby("word_bucket")
+              .map_groups(partial_sq, batch_format="pandas")
+              .groupby("doc_seq").aggregate(Sum("sq", alias_name="sq")))
+
+    def to_norm(b: pa.Table) -> pa.Table:
+        seq = b["doc_seq"].to_numpy()
+        return pa.table({
+            "doc_seq": b["doc_seq"],
+            "doc_bucket": pa.array((np.abs(seq) % NUM_WORD_BUCKETS)
+                                   .astype(np.int32)),
+            "norm": pa.array(np.sqrt(
+                b["sq"].to_numpy(zero_copy_only=False))),
+        })
+
+    build = Path(f"{out}.tmp{os.getpid()}")
+    build.mkdir(parents=True, exist_ok=True)
+    (sums.map_batches(to_norm, batch_format="pyarrow")
+         .write_parquet(str(build), partition_cols=["doc_bucket"]))
+    try:
+        build.rename(out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)  # another builder won
+    return str(out)
+
+
+def similar_docs(sf_dir: str, doc_id: int = 0, k: int = 10) -> pa.Table:
+    """"More like this" (the related-pages staple): top-k docs by COSINE
+    similarity between full tf-idf vectors, seeded by ``doc_id``.
+    score(d) = sum_shared(q_w * d_w) / (||q|| ||d||) with w = tf*ln(N/df).
+
+    Index-backed end to end: the seed's (word, tf) vector is one
+    doc_seq-filtered pass over the bucketed postings (pushed-down parquet
+    predicate — the one full-index-metadata touch, O(row groups), rows
+    out = the seed's vocabulary); candidates and their shared-word
+    weights are exactly the seed terms' pruned posting partitions (a
+    |terms|-term OR query — df-bounded, never corpus); candidate vector
+    norms come from the doc_bucket-partitioned norms sidecar with an
+    isin pushdown (built once per index, fully distributed, df computed
+    word-bucket-locally). Output (doc_id, score desc, doc_id asc), seed
+    excluded, zero-norm candidates dropped."""
+    pdir, n_docs = _ensure_doc_postings(sf_dir)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not n_docs:
+        return empty
+    files = sorted(str(f) for f in Path(pdir).glob("word_bucket=*/*.parquet"))
+    seed = (rd.read_parquet(files, columns=["word", "positions"],
+                            filter=pc.field("doc_seq") == int(doc_id))
+            .to_pandas())
+    if not len(seed):
+        return empty
+    q_tf = {w: len(p) for w, p in zip(seed["word"], seed["positions"])}
+    terms = tuple(sorted(q_tf))
+
+    post, _ = _term_postings(sf_dir, terms)
+    if post.num_rows == 0:
+        return empty
+    pdf = post.select(["word", "doc_seq"]).to_pandas()
+    pdf["tf"] = pc.list_value_length(post["positions"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    df_of = pdf.groupby("word")["doc_seq"].count()
+    idf = {w: math.log(n_docs / d) for w, d in df_of.items()}
+    q_w = {w: q_tf[w] * idf[w] for w in q_tf if w in idf}
+    q_norm_sq_shared = sum(v * v for v in q_w.values())
+
+    # numerator: per candidate, sum over shared words of q_w * d_w
+    pdf["dot"] = (pdf["tf"] * pdf["word"].map(idf)
+                  * pdf["word"].map(q_w))
+    dots = pdf.groupby("doc_seq")["dot"].sum()
+    dots = dots.drop(labels=[int(doc_id)], errors="ignore")
+    dots = dots[dots > 0]
+    if not len(dots):
+        return empty
+
+    # ||q||: the seed vector contains ONLY its own words (all shared with
+    # itself), so its full norm is sqrt(q_norm_sq_shared). ||d||: pruned
+    # isin read of the norms sidecar partitions the candidates hash into.
+    ndir = _ensure_doc_norms(pdir, n_docs)
+    cand = dots.index.to_numpy()
+    nbuckets = sorted({int(abs(int(c)) % NUM_WORD_BUCKETS) for c in cand})
+    npaths = []
+    for b in nbuckets:
+        d = Path(ndir) / f"doc_bucket={b}"
+        if d.exists():
+            npaths.extend(sorted(str(f) for f in d.glob("*.parquet")))
+    norms = (rd.read_parquet(npaths, columns=["doc_seq", "norm"],
+                             filter=pc.field("doc_seq").isin(
+                                 [int(c) for c in cand]))
+             .to_pandas())
+    norm_of = dict(zip(norms["doc_seq"], norms["norm"]))
+    qn = math.sqrt(q_norm_sq_shared)
+    rows = [(int(d), float(v) / (qn * norm_of[int(d)]))
+            for d, v in dots.items()
+            if norm_of.get(int(d), 0.0) > 0 and qn > 0]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    rows = rows[:k]
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "score": pa.array(np.round(
+                         np.array([r[1] for r in rows]), 4))})
