@@ -255,7 +255,7 @@ def run_bench() -> dict:
                      "ann_topk", "minhash_lsh_pairs", "simhash_near_pairs",
                      "quality_scores", "embedding_near_dup",
                      "boolean_and_search", "tfidf_search", "bm25_search",
-                     "near_search", "spell_suggest", "semdedup_keep",
+                     "near_search", "spell_suggest", "similar_docs", "semdedup_keep",
                      "crawl_anchor_postings",
                      "events_asof_join", "orders_price_band_join",
                      "hll_distinct_users", "cms_heavy_users",
