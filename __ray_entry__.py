@@ -673,6 +673,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ispell_search": lambda sf_dir: search.ispell_search(
             sf_dir, "scanned", _ISPELL_AFF, _ISPELL_DIC),
         "quality_scores": textstats.quality_scores,
+        # KenLM-proxy quality gate: mean token log-prob under the corpus
+        # unigram model (two distributed passes, broadcast counts)
+        "unigram_logprob_scores": textstats.unigram_logprob_scores,
         "language_id": textstats.language_id,
         # crawl family — oracle-backed against the normative simulator's
         # trace (scheduling) or the corpus parquet (content):
@@ -719,6 +722,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": dedup.duplicate_spans,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "lsh_topk": similarity.lsh_topk,
+        # MMR diversified retrieval (rows-only: iterative greedy;
+        # test_mmr pins a dense-reference agreement + the lambda=1
+        # degeneracy to plain top-k)
+        "mmr_topk": lambda sf_dir: similarity.mmr_topk(sf_dir, 0),
         "ivf_topk": similarity.ivf_topk,
         "stemmed_search": search.stemmed_search,
         # rows-only (iterative argmax loop — not SQL-expressible): BPE
@@ -1952,6 +1959,20 @@ def oracle_sql() -> dict[str, str]:
                          CAST(n_alnum AS DOUBLE) / n_chars ELSE 0.0 END, 4)
                        AS alnum_ratio
             FROM tok
+        """,
+        # mean token log-prob under the corpus unigram MLE model
+        "unigram_logprob_scores": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+            uni AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+            per AS (SELECT tok.doc_id, SUM(ln(uni.n / tot.t)) AS s,
+                           COUNT(*) AS c
+                    FROM tok JOIN uni ON tok.word = uni.word CROSS JOIN tot
+                    GROUP BY tok.doc_id),
+            alln AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+            SELECT a.doc_id, a.n_tokens,
+                   ROUND(COALESCE(p.s / p.c, 0.0), 4) AS logprob
+            FROM alln a LEFT JOIN per p ON a.doc_id = p.doc_id
         """,
         "language_id": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -291,3 +291,69 @@ def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5, n_bits: int = 6,
              .groupby("query_id")
              .map_groups(merge, batch_format="pandas"))
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def mmr_topk(sf_dir: str, query_id: int = 0, k: int = 5,
+             lam: float = 0.7, pool: int = 20) -> pa.Table:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    retrieval: greedily pick k results maximizing
+    lam * sim(q, c) - (1 - lam) * max_{s in selected} sim(c, s) —
+    relevance traded against redundancy (the diverse-sampling primitive a
+    training-data pipeline uses to avoid near-identical picks).
+
+    Scale shape: the candidate POOL (top-``pool`` by cosine, self
+    excluded) comes from the distributed brute-force pass (per-batch
+    partial top-k; at real scale swap in ivf_topk's pruned scan) — the
+    greedy loop then runs on the driver over the pool's (pool x pool)
+    similarity matrix, which is bounded by ``pool``, never the corpus.
+    Deterministic: ties break on vec_id asc; the first pick is the plain
+    cosine top-1. Output (rank, vec_id, relevance, mmr_score)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    qpos = np.nonzero(ids == query_id)[0]
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "relevance": pa.array([], pa.float64()),
+                      "mmr_score": pa.array([], pa.float64())})
+    if not len(qpos):
+        return empty
+    cand_t = brute_topk(sf_dir, n_queries=int(query_id) + 1, k=pool)
+    cand_t = cand_t.filter(pc.equal(cand_t["query_id"], int(query_id)))
+    cand_ids = cand_t["vec_id"].to_numpy()
+    if not len(cand_ids):
+        return empty
+
+    # pool-sized vector fetch for the pairwise-redundancy matrix
+    sel = t.filter(pc.is_in(t["vec_id"],
+                            value_set=pa.array([int(c) for c in cand_ids]
+                                               + [int(query_id)])))
+    sids = sel["vec_id"].to_numpy()
+    M = np.stack(sel["embedding"].to_pylist()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    pos = {int(v): i for i, v in enumerate(sids)}
+    q = M[pos[int(query_id)]]
+    cand = [int(c) for c in cand_ids]
+    rel = {c: float(M[pos[c]] @ q) for c in cand}
+    S = M @ M.T
+
+    chosen: list[tuple[int, float]] = []
+    remaining = sorted(cand)
+    while remaining and len(chosen) < k:
+        best, best_v = None, -np.inf
+        for c in remaining:             # pool-sized, deterministic order
+            red = max((S[pos[c], pos[s]] for s, _ in chosen), default=0.0)
+            v = lam * rel[c] - (1.0 - lam) * red
+            if v > best_v or (v == best_v and (best is None or c < best)):
+                best, best_v = c, v
+        chosen.append((best, float(best_v)))
+        remaining.remove(best)
+    return pa.table({
+        "rank": pa.array(range(1, len(chosen) + 1), pa.int64()),
+        "vec_id": pa.array([c for c, _ in chosen], pa.int64()),
+        "relevance": pa.array(np.round([rel[c] for c, _ in chosen], 4)),
+        "mmr_score": pa.array(np.round([v for _, v in chosen], 4)),
+    })

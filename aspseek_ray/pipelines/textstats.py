@@ -9,6 +9,8 @@ token counts / word-df / quality have exact DuckDB oracles.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -367,3 +369,52 @@ def bpe_token_counts(sf_dir: str) -> pa.Table:
         return counts(pa.table({"doc_id": pa.array([], pa.int64()),
                                 "text": pa.array([], pa.string())}))
     return pa.concat_tables(parts)
+
+
+def unigram_logprob_scores(sf_dir: str) -> pa.Table:
+    """Per-document mean token log-probability under the CORPUS unigram
+    model — the KenLM-proxy quality gate (a doc of globally-rare tokens
+    scores low; MLE, no smoothing needed since every doc's tokens are in
+    the model by construction):
+
+        lp(doc) = (1/|doc|) * sum_t ln(count(t) / total_tokens)
+
+    Two passes, both distributed: (1) unigram counts as per-batch partials
+    -> one groupby(word).sum (only (word, n) rows shuffle); (2) the count
+    table broadcast once via ray.put and probed per batch with a pandas
+    map — no shuffle. Empty docs score 0.0. Output (doc_id, n_tokens,
+    logprob) rounded to 4."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in tokenize(t):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    uni = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    total = int(uni["n"].sum()) or 1
+    logp = {w: math.log(c / total) for w, c in zip(uni["word"], uni["n"])}
+    logp_ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)
+        ids, ns, lps = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = tokenize(t)
+            ids.append(int(d))
+            ns.append(len(toks))
+            lps.append(sum(lp[w] for w in toks) / len(toks) if toks else 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(ns, pa.int64()),
+                         "logprob": pa.array(_round4(np.array(lps)))})
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
