@@ -261,7 +261,7 @@ def run_bench() -> dict:
                      "hll_distinct_users", "cms_heavy_users",
                      "repetition_scores", "contamination_flags", "normalize_text",
                      "bpe_token_counts",
-                     "orders_price_quantiles",
+                     "orders_price_quantiles", "unigram_logprob_scores", "mmr_topk",
                      "sample_documents", "duplicate_spans",
                      "multimodal_png_pixel_stats",
                      "multimodal_gif_pixel_stats",
