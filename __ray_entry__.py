@@ -650,6 +650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidates from the seed terms' pruned posting partitions,
         # norms from the doc_bucket-partitioned sidecar
         "similar_docs": lambda sf_dir: search.similar_docs(sf_dir, 7),
+        # wildcard query sca*: vocab expansion (pushed-down starts_with
+        # over the sidecar's exact-word rows) -> boolean OR
+        "prefix_search": lambda sf_dir: search.prefix_search(sf_dir, "sca"),
         # same BM25 oracle, forced onto the distributed plan (df groupby +
         # per-batch partial top-k; doclen rides the posting rows)
         "bm25_search_distributed": lambda sf_dir:
@@ -1846,6 +1849,12 @@ def oracle_sql() -> dict[str, str]:
                   WHERE dot.dot > 0)
             SELECT doc_id, ROUND(score, 4) AS score FROM s
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # wildcard sca*: any vocabulary word starting with the prefix
+        "prefix_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok WHERE word LIKE 'sca%'
         """,
         # did-you-mean: vocabulary words within Levenshtein distance 1,
         # df = number of documents containing the word

@@ -1529,3 +1529,41 @@ def similar_docs(sf_dir: str, doc_id: int = 0, k: int = 10) -> pa.Table:
     return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
                      "score": pa.array(np.round(
                          np.array([r[1] for r in rows]), 4))})
+
+
+def prefix_search(sf_dir: str, prefix: str = "sca",
+                  driver_max_posting_rows: int = DRIVER_MAX_POSTING_ROWS,
+                  ) -> pa.Table:
+    """Wildcard query ``prefix*``: doc_ids containing ANY vocabulary word
+    that starts with ``prefix`` (the reference grammar's trailing-star
+    form). Expansion first: the vocabulary is scanned with a pushed-down
+    starts_with filter over the del_keys sidecar's exact-word rows
+    (delkey == word holds for every word, so that slice IS the distinct
+    vocabulary with df attached) — word-hash partitioning can't prune a
+    lexicographic range, so expansion costs one column-pruned vocab scan
+    (at real scale a lexicographically-partitioned vocab sidecar makes
+    this a range read; the hash layout is kept because every OTHER query
+    class prunes by hash). The expanded word set then runs as a normal
+    boolean OR over the pruned posting partitions."""
+    pdir, _ = _ensure_doc_postings(sf_dir)
+    kdir = _ensure_del_keys(pdir)
+    files = sorted(str(f)
+                   for f in Path(kdir).glob("delkey_bucket=*/*.parquet"))
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if not files or not prefix:
+        return empty
+    # collect as arrow refs, not to_pandas: blocks the pushdown filter
+    # empties lose their schema and a column-less pandas frame comes back
+    parts = [t for t in ray.get(
+        rd.read_parquet(files, columns=["word", "delkey"],
+                        filter=pc.starts_with(pc.field("word"), prefix))
+          .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return empty
+    vt = pa.concat_tables(parts)
+    vt = vt.filter(pc.equal(vt["word"], vt["delkey"]))
+    words = tuple(sorted(set(vt["word"].to_pylist())))
+    if not words:
+        return empty
+    return boolean_or_search(sf_dir, words,
+                             driver_max_posting_rows=driver_max_posting_rows)

@@ -60,3 +60,17 @@ def test_spell_suggest_end_to_end(ray_session):
     assert "scan" in set(t2["word"])
     # no candidates -> empty, not an error
     assert search.spell_suggest(SF, "zzzzzzq").num_rows == 0
+
+
+def test_prefix_search_expansion(ray_session):
+    """sca* == OR over every vocab word starting with 'sca'; unmatched
+    prefix is empty; single-word expansion equals the plain term query."""
+    from aspseek_ray.pipelines import search
+
+    got = search.prefix_search(SF, "sca")
+    direct = search.boolean_or_search(SF, ("scan",))
+    assert got.equals(direct)      # fixture vocab: only 'scan' maches sca*
+    assert search.prefix_search(SF, "zzz").num_rows == 0
+    # multi-word expansion: 's' hits scan/slow/small/sort/spark/stream...
+    s_all = search.prefix_search(SF, "s")
+    assert s_all.num_rows > got.num_rows
