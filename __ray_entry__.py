@@ -653,6 +653,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wildcard query sca*: vocab expansion (pushed-down starts_with
         # over the sidecar's exact-word rows) -> boolean OR
         "prefix_search": lambda sf_dir: search.prefix_search(sf_dir, "sca"),
+        # wildcard through the full qparser grammar: Prefix node expanded
+        # against the vocabulary, then the unchanged boolean machinery
+        "parsed_wildcard_search": lambda sf_dir: qparser.search_query(
+            sf_dir, "sca* slow"),
         # same BM25 oracle, forced onto the distributed plan (df groupby +
         # per-batch partial top-k; doclen rides the posting rows)
         "bm25_search_distributed": lambda sf_dir:
@@ -1849,6 +1853,14 @@ def oracle_sql() -> dict[str, str]:
                   WHERE dot.dot > 0)
             SELECT doc_id, ROUND(score, 4) AS score FROM s
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # qparser wildcard: (any word LIKE sca%) AND slow
+        "parsed_wildcard_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok
+            WHERE word LIKE 'sca%'
+              AND doc_id IN (SELECT doc_id FROM tok WHERE word = 'slow')
         """,
         # wildcard sca*: any vocabulary word starting with the prefix
         "prefix_search": f"""

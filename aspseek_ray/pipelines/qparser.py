@@ -33,7 +33,7 @@ import pyarrow as pa
 from aspseek_ray.functions.text import tokenize
 
 __all__ = ["parse_query", "search_query", "QueryError",
-           "Term", "Phrase", "And", "Or", "Not"]
+           "Term", "Phrase", "Prefix", "And", "Or", "Not"]
 
 
 class QueryError(ValueError):
@@ -48,6 +48,13 @@ class Term:
 @dataclass(frozen=True)
 class Phrase:
     words: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Prefix:
+    """Trailing-star wildcard ``word*`` — expanded against the index
+    vocabulary before evaluation (search_query / expand_prefixes)."""
+    prefix: str
 
 
 @dataclass(frozen=True)
@@ -88,7 +95,13 @@ def _lex(q: str) -> list[tuple[str, str]]:
             toks.append((_OPS[t.lower()], t))
         elif t[0] in "-!" and len(t) > 1:
             toks.append(("NOT", t[0]))
-            toks.append(("WORD", t[1:]))
+            body = t[1:]
+            if body.endswith("*") and len(body) > 1:
+                toks.append(("PREFIX", body[:-1]))
+            else:
+                toks.append(("WORD", body))
+        elif t.endswith("*") and len(t) > 1:
+            toks.append(("PREFIX", t[:-1]))
         else:
             toks.append(("WORD", t))
     return toks
@@ -166,6 +179,12 @@ class _Parser:
             return _atom_of_words(tokenize(raw), raw)
         if kind == "WORD":
             return _atom_of_words(tokenize(raw), raw)
+        if kind == "PREFIX":
+            words = tokenize(raw)
+            if len(words) != 1:
+                raise QueryError(
+                    f"wildcard stem {raw!r} must normalize to one token")
+            return Prefix(words[0])
         raise QueryError(f"unexpected {raw!r}")
 
 
@@ -202,6 +221,10 @@ def leaf_terms(node: Node) -> set[str]:
         return {node.word}
     if isinstance(node, Phrase):
         return set(node.words)
+    if isinstance(node, Prefix):
+        raise QueryError(
+            f"wildcard {node.prefix}* must be expanded against a "
+            "vocabulary first (expand_prefixes)")
     if isinstance(node, Not):
         return leaf_terms(node.child)
     return set().union(*(leaf_terms(c) for c in node.children))
@@ -215,9 +238,38 @@ def positive_terms(node: Node) -> set[str]:
         return {node.word}
     if isinstance(node, Phrase):
         return set(node.words)
+    if isinstance(node, Prefix):
+        raise QueryError(
+            f"wildcard {node.prefix}* must be expanded against a "
+            "vocabulary first (expand_prefixes)")
     if isinstance(node, Not):
         return set()
     return set().union(*(positive_terms(c) for c in node.children))
+
+
+def expand_prefixes(node: Node, expander) -> Node:
+    """Rewrite every Prefix(p) into the OR of ``expander(p)``'s words —
+    the vocabulary-expansion pass run before the postings evaluators
+    (reference wildcard handling: the star expands against the word
+    table, then the boolean machinery runs unchanged). An unmatched
+    prefix becomes Term(p) itself, which (being absent from the
+    vocabulary) evaluates to the empty set."""
+    if isinstance(node, Prefix):
+        words = tuple(expander(node.prefix))
+        if not words:
+            return Term(node.prefix)
+        if len(words) == 1:
+            return Term(words[0])
+        return Or(tuple(Term(w) for w in words))
+    if isinstance(node, Not):
+        return Not(expand_prefixes(node.child, expander))
+    if isinstance(node, And):
+        return And(tuple(expand_prefixes(c, expander)
+                         for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(expand_prefixes(c, expander)
+                        for c in node.children))
+    return node
 
 
 def matches(node: Node, toks: list[str], tokset: set[str]) -> bool:
@@ -232,6 +284,9 @@ def matches(node: Node, toks: list[str], tokset: set[str]) -> bool:
         n = len(node.words)
         want = list(node.words)
         return any(toks[i:i + n] == want for i in range(len(toks) - n + 1))
+    if isinstance(node, Prefix):
+        # streaming eval has the doc's own tokens — no vocab needed
+        return any(w.startswith(node.prefix) for w in tokset)
     if isinstance(node, Not):
         return not matches(node.child, toks, tokset)
     if isinstance(node, And):
@@ -297,4 +352,8 @@ def search_query(sf_dir: str, q: str,
 
     if driver_max_posting_rows is None:
         driver_max_posting_rows = DRIVER_MAX_POSTING_ROWS
-    return _ast_plan(sf_dir, parse_query(q), driver_max_posting_rows)
+    ast = parse_query(q)
+    from aspseek_ray.pipelines.search import _prefix_words
+
+    ast = expand_prefixes(ast, lambda p: _prefix_words(sf_dir, p))
+    return _ast_plan(sf_dir, ast, driver_max_posting_rows)

@@ -1545,25 +1545,34 @@ def prefix_search(sf_dir: str, prefix: str = "sca",
     this a range read; the hash layout is kept because every OTHER query
     class prunes by hash). The expanded word set then runs as a normal
     boolean OR over the pruned posting partitions."""
+    words = _prefix_words(sf_dir, prefix)
+    if not words:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return boolean_or_search(sf_dir, words,
+                             driver_max_posting_rows=driver_max_posting_rows)
+
+
+def _prefix_words(sf_dir: str, prefix: str) -> tuple[str, ...]:
+    """Vocabulary words starting with ``prefix`` (sorted) — the wildcard
+    expansion pass shared by prefix_search and the qparser's Prefix
+    nodes. Pushed-down starts_with scan over the del_keys sidecar's
+    exact-word rows (delkey == word <=> one row per distinct word).
+    Collected as arrow refs, not to_pandas: empty filtered blocks lose
+    their schema and a column-less pandas frame comes back."""
+    if not prefix:
+        return ()
     pdir, _ = _ensure_doc_postings(sf_dir)
     kdir = _ensure_del_keys(pdir)
     files = sorted(str(f)
                    for f in Path(kdir).glob("delkey_bucket=*/*.parquet"))
-    empty = pa.table({"doc_id": pa.array([], pa.int64())})
-    if not files or not prefix:
-        return empty
-    # collect as arrow refs, not to_pandas: blocks the pushdown filter
-    # empties lose their schema and a column-less pandas frame comes back
+    if not files:
+        return ()
     parts = [t for t in ray.get(
         rd.read_parquet(files, columns=["word", "delkey"],
                         filter=pc.starts_with(pc.field("word"), prefix))
           .materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
-        return empty
+        return ()
     vt = pa.concat_tables(parts)
     vt = vt.filter(pc.equal(vt["word"], vt["delkey"]))
-    words = tuple(sorted(set(vt["word"].to_pylist())))
-    if not words:
-        return empty
-    return boolean_or_search(sf_dir, words,
-                             driver_max_posting_rows=driver_max_posting_rows)
+    return tuple(sorted(set(vt["word"].to_pylist())))

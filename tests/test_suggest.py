@@ -74,3 +74,29 @@ def test_prefix_search_expansion(ray_session):
     # multi-word expansion: 's' hits scan/slow/small/sort/spark/stream...
     s_all = search.prefix_search(SF, "s")
     assert s_all.num_rows > got.num_rows
+
+
+def test_qparser_wildcard(ray_session):
+    """Grammar-level wildcards: Prefix parses, expands against the vocab,
+    evaluates identically on driver and distributed plans, and the
+    streaming matches() evaluator agrees without any expansion."""
+    from aspseek_ray.functions.text import tokenize
+    from aspseek_ray.pipelines import qparser, search
+
+    ast = qparser.parse_query("sca* slow")
+    assert any(isinstance(c, qparser.Prefix) for c in ast.children)
+    a = qparser.search_query(SF, "sca* slow")
+    d = qparser.search_query(SF, "sca* slow", driver_max_posting_rows=0)
+    assert a.equals(d) and a.num_rows > 0
+    # equivalent expansion by hand (fixture vocab: sca* -> scan only)
+    manual = qparser.search_query(SF, "scan slow")
+    assert a.equals(manual)
+    # negated wildcard: -sca* excludes scan docs
+    neg = qparser.search_query(SF, "slow -sca*")
+    both = set(a["doc_id"].to_pylist())
+    slow = set(qparser.search_query(SF, "slow")["doc_id"].to_pylist())
+    assert set(neg["doc_id"].to_pylist()) == slow - both
+    # streaming evaluator handles Prefix natively
+    toks = tokenize("a scanner is slow")
+    assert qparser.matches(qparser.parse_query("scann* slow"),
+                           toks, set(toks))
