@@ -75,6 +75,26 @@ def _cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_suggest(args: argparse.Namespace) -> int:
+    from aspseek_ray.pipelines.search import spell_suggest
+
+    _ensure_ray(args.ray_address)
+    t = spell_suggest(args.sf_dir, args.term)
+    for w, d in zip(t["word"].to_pylist(), t["df"].to_pylist()):
+        print(f"{w}\t{d}")
+    return 0
+
+
+def _cmd_similar(args: argparse.Namespace) -> int:
+    from aspseek_ray.pipelines.search import similar_docs
+
+    _ensure_ray(args.ray_address)
+    t = similar_docs(args.sf_dir, args.doc_id, k=args.limit)
+    for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+        print(f"{d}\t{sc}")
+    return 0
+
+
 def _cmd_crawl_search(args: argparse.Namespace) -> int:
     from aspseek_ray.pipelines.search import ranked_crawl_search
 
@@ -180,6 +200,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("query")
     s.add_argument("--limit", type=int, default=20)
     s.set_defaults(fn=_cmd_search)
+
+    sg = sub.add_parser("suggest",
+                        help="did-you-mean over the documents vocabulary")
+    sg.add_argument("--sf-dir", required=True)
+    sg.add_argument("term")
+    sg.set_defaults(fn=_cmd_suggest)
+
+    sm = sub.add_parser("similar", help="more-like-this by doc id")
+    sm.add_argument("--sf-dir", required=True)
+    sm.add_argument("doc_id", type=int)
+    sm.add_argument("--limit", type=int, default=10)
+    sm.set_defaults(fn=_cmd_similar)
 
     cs = sub.add_parser("crawl-search",
                         help="ranked search over a crawl's own products")

@@ -121,3 +121,24 @@ def test_cli_searchd_daemon(cli_corpus):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_cli_suggest_and_similar(ray_session, capsys):
+    from aspseek_ray.cli import build_parser, main
+
+    rc = main(["suggest", "--sf-dir", "/root/testdata/sf0.001", "sow"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and [l.split("\t")[0] for l in out] == ["slow", "row"]
+    rc = main(["similar", "--sf-dir", "/root/testdata/sf0.001", "7",
+               "--limit", "3"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 3
+
+
+def test_cli_search_wildcard(ray_session, capsys):
+    from aspseek_ray.cli import main
+
+    rc = main(["search", "--sf-dir", "/root/testdata/sf0.001",
+               "sca* slow", "--limit", "5"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 5
