@@ -404,16 +404,23 @@ def unigram_logprob_scores(sf_dir: str) -> pa.Table:
 
     def score(batch: pa.Table) -> pa.Table:
         lp = ray.get(logp_ref)
-        ids, ns, lps = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
+        all_toks: list[str] = []
+        lens = np.empty(batch.num_rows, np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
             toks = tokenize(t)
-            ids.append(int(d))
-            ns.append(len(toks))
-            lps.append(sum(lp[w] for w in toks) / len(toks) if toks else 0.0)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_tokens": pa.array(ns, pa.int64()),
-                         "logprob": pa.array(_round4(np.array(lps)))})
+            lens[i] = len(toks)
+            all_toks.extend(toks)
+        # one vectorized hash-map pass over the batch's token stream
+        # instead of a Python dict lookup per token
+        vals = pd.Series(all_toks, dtype=object).map(lp).to_numpy(np.float64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        sums = np.add.reduceat(np.concatenate([vals, [0.0]]), bounds[:-1])
+        sums[lens == 0] = 0.0
+        lps = np.divide(sums, lens, out=np.zeros_like(sums),
+                        where=lens > 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(lens),
+                         "logprob": pa.array(_round4(lps))})
 
     out = (ds.map_batches(score, batch_format="pyarrow")
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
