@@ -22,9 +22,11 @@ from typing import Any
 # input-shaped table deterministically; cached under /tmp per sf)
 # --------------------------------------------------------------------------
 _CORPUS_SIZES = {"0.001": (500, 16), "0.01": (2000, 40), "0.1": (20000, 400)}
-_CORPUS_VERSION = "v5"  # bump when fixtures/gen.py output changes
-# (v5: links.parquet gains the intended anchor-text column; page bytes
-# verified identical to v4)
+_CORPUS_VERSION = "v6"  # bump when fixtures/gen.py output changes
+# (v5: links.parquet gains the intended anchor-text column, page bytes
+# identical to v4; v6: ~5% of pages carry meta-robots directives --
+# every page's bytes shift, engine and normative simulator honor
+# nofollow identically)
 
 
 def corpus_for(sf_dir: str) -> str:
@@ -216,6 +218,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         p = index_products.build_postings(f"{corpus_for(sf_dir)}/pages.parquet")
+        merged = index_products.merge_postings(p)
+        return merged.select_columns(["word", "df"]).to_pandas()
+
+    def crawl_postings_noindex(sf_dir: str):
+        # meta-robots noindex honored at index build (O6 policy): pages
+        # carrying the directive contribute no words
+        p = index_products.build_postings(
+            f"{corpus_for(sf_dir)}/pages.parquet", honor_noindex=True)
         merged = index_products.merge_postings(p)
         return merged.select_columns(["word", "df"]).to_pandas()
 
@@ -694,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_clone_groups": crawl_clone_groups,
         "crawl_postings_df": crawl_postings_df,
         "crawl_postings_staged": crawl_postings_staged,
+        "crawl_postings_noindex": crawl_postings_noindex,
         "crawl_postings_multilang": crawl_postings_multilang,
         "crawl_status_stats": crawl_status_stats,
         "crawl_host_stats": crawl_host_stats,
@@ -1074,6 +1085,20 @@ def oracle_sql() -> dict[str, str]:
                        FROM read_parquet('{links}'))
             SELECT word, url, COUNT(*) AS n_refs FROM a
             GROUP BY word, url
+        """,
+        # noindex honored: same df count, pages whose html carries the
+        # directive excluded (the fixture emits the tag with this exact
+        # quoting and never inside comments/scripts, so a plain regexp
+        # over the raw bytes is an exact oracle-side mirror)
+        "crawl_postings_noindex": f"""
+            WITH live AS (SELECT url, text FROM read_parquet('{pages}')
+                          WHERE NOT regexp_matches(decode(html),
+                              '<meta name="robots" content="[^"]*noindex')),
+            tok AS (SELECT url, unnest(list_distinct({_TOKS})) AS word
+                    FROM live)
+            SELECT word, COUNT(*) AS df FROM tok
+            WHERE NOT list_contains({_STOP_EN_SQL}, word)
+            GROUP BY word
         """,
         "crawl_postings_df": f"""
             WITH tok AS (SELECT url, unnest(list_distinct({_TOKS})) AS word

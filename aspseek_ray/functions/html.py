@@ -165,3 +165,50 @@ def extract_anchors(html: bytes | str) -> tuple[str | None, list[tuple[str, str]
         inner = _SPACES_RE.sub(" ", inner.replace("\n", " ")).strip()
         pairs.append((href, inner))
     return base, pairs
+
+
+_META_ROBOTS_RE = re.compile(
+    r"""<meta\b[^>]*name\s*=\s*["']?robots["']?[^>]*>""", re.I)
+_CONTENT_ATTR_RE = re.compile(
+    r"""content\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.I)
+
+
+def _robots_from_stripped(s: str) -> frozenset[str]:
+    flags: set[str] = set()
+    for m in _META_ROBOTS_RE.finditer(s):
+        am = _CONTENT_ATTR_RE.search(m.group(0))
+        if not am:
+            continue
+        for tok in am.group(1).strip("\"'").lower().split(","):
+            tok = tok.strip()
+            if tok == "none":
+                flags.update(("noindex", "nofollow"))
+            elif tok in ("noindex", "nofollow"):
+                flags.add(tok)
+    return frozenset(flags)
+
+
+def extract_meta_robots(html: bytes | str) -> frozenset[str]:
+    """Directives from ``<meta name=robots content=...>`` (reference O6:
+    the parser honors noindex/nofollow) — the subset {"noindex",
+    "nofollow"}; ``none`` expands to both, ``all``/unknown tokens are
+    ignored. Scanned after script/style/comment removal; multiple meta
+    tags union. POLICY LAYERING (pinned): nofollow suppresses the
+    page's outlinks in CRAWL DISCOVERY only — the citation graph
+    (pagerank / anchor index) stays intended-link based, matching the
+    generator's links.parquet ground truth; noindex excludes the page
+    from postings builds that opt in (honor_noindex)."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    return _robots_from_stripped(_strip_noise(s))
+
+
+def extract_text_links_robots(
+        html: bytes | str,
+) -> tuple[str, str | None, list[str], frozenset[str]]:
+    """Fused single-pass (text, base_href, hrefs, robots_flags) — the
+    crawl fetch stage's hot path extended with the meta-robots scan; one
+    decode + noise-strip serves all four products."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    s = _strip_noise(s)
+    base, hrefs = _links_from_stripped(s)
+    return _text_from_stripped(s), base, hrefs, _robots_from_stripped(s)

@@ -150,16 +150,20 @@ class FetchTraceDiscover:
             # Fused single HTML pass (VERDICT r2 #4): decode + noise-strip
             # each 200 body ONCE, producing the stored text AND the links
             # that parse_discover would otherwise re-extract.
-            from aspseek_ray.functions.html import extract_text_and_links
+            from aspseek_ray.functions.html import extract_text_links_robots
 
             ok_idx = np.flatnonzero(np.asarray(fetched["status"]) == 200)
             htmls = fetched["html"].to_pylist()
             texts: list[str] = []
             parsed = {}
             for i in ok_idx:
-                text, base, hrefs = extract_text_and_links(htmls[i])
+                text, base, hrefs, robots = extract_text_links_robots(
+                    htmls[i])
                 texts.append(text)
-                parsed[int(i)] = (base, hrefs)
+                # meta-robots nofollow (O6): the page is fetched and
+                # stored, but its outlinks never enter discovery
+                parsed[int(i)] = (base,
+                                  [] if "nofollow" in robots else hrefs)
             ok = fetched.take(pa.array(ok_idx, pa.int64()))
             store = pa.table({
                 "url_hash": ok["url_hash"],

@@ -36,7 +36,8 @@ NUM_WORD_BUCKETS = 64
 
 def build_postings(pages_path: str, out_dir: str | None = None,
                    drop_stopwords: bool = True,
-                   per_lang_stopwords: bool = False) -> rd.Dataset:
+                   per_lang_stopwords: bool = False,
+                   honor_noindex: bool = False) -> rd.Dataset:
     """pages -> postings (word, word_bucket, doc_seq, positions). doc_seq
     is the DOC ID: fnv1a64(url) — a content-independent, globally
     consistent 64-bit id assignable with no coordination (NOT crawl/warc
@@ -46,9 +47,25 @@ def build_postings(pages_path: str, out_dir: str | None = None,
 
     ``per_lang_stopwords``: the reference's per-language stopword files
     (O12) — each doc's stoplist follows its ``lang`` column
-    (text.stopwords_for; unknown langs fall back to English)."""
+    (text.stopwords_for; unknown langs fall back to English).
+
+    ``honor_noindex``: drop pages whose html carries a meta-robots
+    noindex directive before tokenizing (O6 policy: the page is crawled
+    and stored, but its words never enter the index)."""
     cols = ["url", "text"] + (["lang"] if per_lang_stopwords else [])
-    ds = rd.read_parquet(pages_path, columns=cols)
+    if honor_noindex:
+        from aspseek_ray.functions.html import extract_meta_robots
+
+        ds = rd.read_parquet(pages_path, columns=cols + ["html"])
+
+        def drop_noindex(b: pa.Table) -> pa.Table:
+            keep = [i for i, h in enumerate(b["html"].to_pylist())
+                    if "noindex" not in extract_meta_robots(h)]
+            return b.take(pa.array(keep, pa.int64())).drop_columns(["html"])
+
+        ds = ds.map_batches(drop_noindex, batch_format="pyarrow")
+    else:
+        ds = rd.read_parquet(pages_path, columns=cols)
     return _postings_from_pages(ds, out_dir, drop_stopwords,
                                 per_lang_stopwords)
 

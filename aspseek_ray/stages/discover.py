@@ -69,7 +69,14 @@ def parse_discover(batch: pa.Table, max_hops: int,
         if nd > max_hops:
             continue  # no outlink can survive the depth filter (O3)
         pre = parsed.get(i) if parsed is not None else None
-        base, hrefs = pre if pre is not None else extract_links(html)
+        if pre is not None:
+            base, hrefs = pre        # fused pass already applied nofollow
+        else:
+            from aspseek_ray.functions.html import extract_meta_robots
+
+            base, hrefs = extract_links(html)
+            if "nofollow" in extract_meta_robots(html):
+                hrefs = []           # meta-robots nofollow (O6)
         eff = base or url
         for link_idx, h in enumerate(hrefs):
             c = canonicalize(h, eff)

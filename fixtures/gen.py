@@ -157,14 +157,24 @@ def _gen_html(rng: np.random.Generator, title: str, hrefs: list[str],
               ) -> tuple[bytes, list[tuple[str, str]]]:
     """Returns (html_bytes, anchors) where anchors = [(href, anchor_text)]
     in RENDERED document order — the intended ground truth for the anchor
-    column of links.parquet. Capturing the sentences consumes no extra RNG
-    draws, so page bytes are identical to pre-anchor-tracking output."""
+    column of links.parquet (sentence capture consumes no extra RNG
+    draws; the meta-robots roll below does — corpus v6)."""
     anchors: list[tuple[str, str]] = []
     parts = ["<html><head><title>", title, "</title>"]
     if rng.random() < 0.5:
         parts.append(f'<meta name="description" content="{_sentence(rng, 3, 8, 0)}">')
     if rng.random() < 0.3:
         parts.append(f'<meta name="keywords" content="{_sentence(rng, 2, 5, 0)}">')
+    # meta-robots pages (O6 policy vectors): ~2% nofollow, ~2% noindex,
+    # ~1% both. nofollow pages keep their INTENDED links in links.parquet
+    # (the citation-graph ground truth) — only crawl discovery skips them.
+    mr = rng.random()
+    if mr < 0.02:
+        parts.append('<meta name="robots" content="nofollow">')
+    elif mr < 0.04:
+        parts.append('<meta name="robots" content="noindex">')
+    elif mr < 0.05:
+        parts.append('<meta name="robots" content="noindex,nofollow">')
     if base_href:
         parts.append(f'<base href="{base_href}">')
     parts.append("</head><body>")

@@ -28,7 +28,7 @@ import re
 from dataclasses import dataclass, field
 
 from aspseek_ray.config import CrawlConfig
-from aspseek_ray.functions.html import extract_links
+from aspseek_ray.functions.html import extract_links, extract_meta_robots
 from aspseek_ray.functions.url import canonicalize, host_of
 from urllib.parse import urlsplit
 
@@ -128,6 +128,8 @@ def simulate(pages: dict[str, bytes], seeds: list[str],
                 continue
             if status != 200:
                 continue
+            if "nofollow" in extract_meta_robots(pages[url]):
+                continue             # meta-robots nofollow (O6): no outlinks
             base, hrefs = extract_links(pages[url])
             eff = base or url
             for link_idx, h in enumerate(hrefs):
