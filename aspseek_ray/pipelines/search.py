@@ -1337,7 +1337,8 @@ def anchor_boosted_search(store_dir: str, pages_path: str,
             for t in ray.get(body.map_batches(
                     probe, batch_format="pyarrow")
                     .materialize().to_arrow_refs()):
-                scored_urls.update(t["url"].to_pylist())
+                if t.num_rows:       # empty blocks can lose their schema
+                    scored_urls.update(t["url"].to_pylist())
         # anchor-only candidates: in the store, hits > 0, no body score
         aonly = sorted(set(hits) - scored_urls)
         if aonly:
@@ -1351,7 +1352,7 @@ def anchor_boosted_search(store_dir: str, pages_path: str,
             stored_aonly = {u for t in ray.get(
                 store.map_batches(member, batch_format="pyarrow")
                      .materialize().to_arrow_refs())
-                for u in t["url"].to_pylist()}
+                if t.num_rows for u in t["url"].to_pylist()}
             if stored_aonly:
                 extra = pd.DataFrame({
                     "url": sorted(stored_aonly),
@@ -1388,7 +1389,8 @@ def anchor_boosted_search(store_dir: str, pages_path: str,
 
         for t in ray.get(store.map_batches(member, batch_format="pyarrow")
                          .materialize().to_arrow_refs()):
-            stored.update(t["url"].to_pylist())
+            if t.num_rows:           # empty blocks can lose their schema
+                stored.update(t["url"].to_pylist())
         for u in stored:
             scores[u] = 0.0
     for u in list(scores):
