@@ -173,7 +173,15 @@ _CONTENT_ATTR_RE = re.compile(
     r"""content\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.I)
 
 
+_EMPTY_FLAGS: frozenset[str] = frozenset()
+
+
 def _robots_from_stripped(s: str) -> frozenset[str]:
+    # fast path for the crawl's fused parse: no "robots" substring means
+    # no directive tag can exist; the C-level scan is ~10x cheaper than
+    # the regex pass this skips (most pages carry no directives)
+    if "robots" not in s and "robots" not in s.lower():
+        return _EMPTY_FLAGS
     flags: set[str] = set()
     for m in _META_ROBOTS_RE.finditer(s):
         am = _CONTENT_ATTR_RE.search(m.group(0))
