@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against the vocabulary, then the unchanged boolean machinery
         "parsed_wildcard_search": lambda sf_dir: qparser.search_query(
             sf_dir, "sca* slow"),
+        # leading-star (suffix) wildcard: any word ending in 'ow' AND scan
+        "parsed_suffix_search": lambda sf_dir: qparser.search_query(
+            sf_dir, "*ow scan"),
         # same BM25 oracle, forced onto the distributed plan (df groupby +
         # per-batch partial top-k; doclen rides the posting rows)
         "bm25_search_distributed": lambda sf_dir:
@@ -1878,6 +1881,14 @@ def oracle_sql() -> dict[str, str]:
                   WHERE dot.dot > 0)
             SELECT doc_id, ROUND(score, 4) AS score FROM s
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # qparser suffix wildcard: (any word LIKE %ow) AND scan
+        "parsed_suffix_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS word
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok
+            WHERE word LIKE '%ow'
+              AND doc_id IN (SELECT doc_id FROM tok WHERE word = 'scan')
         """,
         # qparser wildcard: (any word LIKE sca%) AND slow
         "parsed_wildcard_search": f"""

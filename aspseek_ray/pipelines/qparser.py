@@ -33,7 +33,7 @@ import pyarrow as pa
 from aspseek_ray.functions.text import tokenize
 
 __all__ = ["parse_query", "search_query", "QueryError",
-           "Term", "Phrase", "Prefix", "And", "Or", "Not"]
+           "Term", "Phrase", "Prefix", "Suffix", "And", "Or", "Not"]
 
 
 class QueryError(ValueError):
@@ -55,6 +55,13 @@ class Prefix:
     """Trailing-star wildcard ``word*`` — expanded against the index
     vocabulary before evaluation (search_query / expand_prefixes)."""
     prefix: str
+
+
+@dataclass(frozen=True)
+class Suffix:
+    """Leading-star wildcard ``*word`` — the symmetric vocabulary
+    expansion (ends_with)."""
+    suffix: str
 
 
 @dataclass(frozen=True)
@@ -98,10 +105,14 @@ def _lex(q: str) -> list[tuple[str, str]]:
             body = t[1:]
             if body.endswith("*") and len(body) > 1:
                 toks.append(("PREFIX", body[:-1]))
+            elif body.startswith("*") and len(body) > 1:
+                toks.append(("SUFFIX", body[1:]))
             else:
                 toks.append(("WORD", body))
         elif t.endswith("*") and len(t) > 1:
             toks.append(("PREFIX", t[:-1]))
+        elif t.startswith("*") and len(t) > 1:
+            toks.append(("SUFFIX", t[1:]))
         else:
             toks.append(("WORD", t))
     return toks
@@ -179,12 +190,12 @@ class _Parser:
             return _atom_of_words(tokenize(raw), raw)
         if kind == "WORD":
             return _atom_of_words(tokenize(raw), raw)
-        if kind == "PREFIX":
+        if kind in ("PREFIX", "SUFFIX"):
             words = tokenize(raw)
             if len(words) != 1:
                 raise QueryError(
                     f"wildcard stem {raw!r} must normalize to one token")
-            return Prefix(words[0])
+            return Prefix(words[0]) if kind == "PREFIX" else Suffix(words[0])
         raise QueryError(f"unexpected {raw!r}")
 
 
@@ -221,10 +232,10 @@ def leaf_terms(node: Node) -> set[str]:
         return {node.word}
     if isinstance(node, Phrase):
         return set(node.words)
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Suffix)):
         raise QueryError(
-            f"wildcard {node.prefix}* must be expanded against a "
-            "vocabulary first (expand_prefixes)")
+            "wildcards must be expanded against a vocabulary first "
+            "(expand_prefixes)")
     if isinstance(node, Not):
         return leaf_terms(node.child)
     return set().union(*(leaf_terms(c) for c in node.children))
@@ -238,36 +249,43 @@ def positive_terms(node: Node) -> set[str]:
         return {node.word}
     if isinstance(node, Phrase):
         return set(node.words)
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Suffix)):
         raise QueryError(
-            f"wildcard {node.prefix}* must be expanded against a "
-            "vocabulary first (expand_prefixes)")
+            "wildcards must be expanded against a vocabulary first "
+            "(expand_prefixes)")
     if isinstance(node, Not):
         return set()
     return set().union(*(positive_terms(c) for c in node.children))
 
 
-def expand_prefixes(node: Node, expander) -> Node:
-    """Rewrite every Prefix(p) into the OR of ``expander(p)``'s words —
-    the vocabulary-expansion pass run before the postings evaluators
-    (reference wildcard handling: the star expands against the word
-    table, then the boolean machinery runs unchanged). An unmatched
-    prefix becomes Term(p) itself, which (being absent from the
-    vocabulary) evaluates to the empty set."""
-    if isinstance(node, Prefix):
-        words = tuple(expander(node.prefix))
+def expand_prefixes(node: Node, expander, suffix_expander=None) -> Node:
+    """Rewrite every Prefix(p) / Suffix(p) into the OR of its expander's
+    words — the vocabulary-expansion pass run before the postings
+    evaluators (reference wildcard handling: the star expands against
+    the word table, then the boolean machinery runs unchanged). An
+    unmatched wildcard becomes Term(stem) itself, which (being absent
+    from the vocabulary) evaluates to the empty set."""
+    def _ors(words, stem):
+        words = tuple(words)
         if not words:
-            return Term(node.prefix)
+            return Term(stem)
         if len(words) == 1:
             return Term(words[0])
         return Or(tuple(Term(w) for w in words))
+
+    if isinstance(node, Prefix):
+        return _ors(expander(node.prefix), node.prefix)
+    if isinstance(node, Suffix):
+        if suffix_expander is None:
+            raise QueryError("no suffix expander available")
+        return _ors(suffix_expander(node.suffix), node.suffix)
     if isinstance(node, Not):
-        return Not(expand_prefixes(node.child, expander))
+        return Not(expand_prefixes(node.child, expander, suffix_expander))
     if isinstance(node, And):
-        return And(tuple(expand_prefixes(c, expander)
+        return And(tuple(expand_prefixes(c, expander, suffix_expander)
                          for c in node.children))
     if isinstance(node, Or):
-        return Or(tuple(expand_prefixes(c, expander)
+        return Or(tuple(expand_prefixes(c, expander, suffix_expander)
                         for c in node.children))
     return node
 
@@ -287,6 +305,8 @@ def matches(node: Node, toks: list[str], tokset: set[str]) -> bool:
     if isinstance(node, Prefix):
         # streaming eval has the doc's own tokens — no vocab needed
         return any(w.startswith(node.prefix) for w in tokset)
+    if isinstance(node, Suffix):
+        return any(w.endswith(node.suffix) for w in tokset)
     if isinstance(node, Not):
         return not matches(node.child, toks, tokset)
     if isinstance(node, And):
@@ -353,7 +373,8 @@ def search_query(sf_dir: str, q: str,
     if driver_max_posting_rows is None:
         driver_max_posting_rows = DRIVER_MAX_POSTING_ROWS
     ast = parse_query(q)
-    from aspseek_ray.pipelines.search import _prefix_words
+    from aspseek_ray.pipelines.search import _prefix_words, _suffix_words
 
-    ast = expand_prefixes(ast, lambda p: _prefix_words(sf_dir, p))
+    ast = expand_prefixes(ast, lambda p: _prefix_words(sf_dir, p),
+                          lambda p: _suffix_words(sf_dir, p))
     return _ast_plan(sf_dir, ast, driver_max_posting_rows)

@@ -1554,6 +1554,14 @@ def prefix_search(sf_dir: str, prefix: str = "sca",
                              driver_max_posting_rows=driver_max_posting_rows)
 
 
+def _suffix_words(sf_dir: str, suffix: str) -> tuple[str, ...]:
+    """Vocabulary words ENDING with ``suffix`` — the symmetric expansion
+    for leading-star wildcards (*word), same sidecar scan as
+    _prefix_words with an ends_with pushdown."""
+    return _vocab_scan(sf_dir, pc.ends_with(pc.field("word"), suffix)
+                       ) if suffix else ()
+
+
 def _prefix_words(sf_dir: str, prefix: str) -> tuple[str, ...]:
     """Vocabulary words starting with ``prefix`` (sorted) — the wildcard
     expansion pass shared by prefix_search and the qparser's Prefix
@@ -1561,8 +1569,11 @@ def _prefix_words(sf_dir: str, prefix: str) -> tuple[str, ...]:
     exact-word rows (delkey == word <=> one row per distinct word).
     Collected as arrow refs, not to_pandas: empty filtered blocks lose
     their schema and a column-less pandas frame comes back."""
-    if not prefix:
-        return ()
+    return _vocab_scan(sf_dir, pc.starts_with(pc.field("word"), prefix)
+                       ) if prefix else ()
+
+
+def _vocab_scan(sf_dir: str, word_filter) -> tuple[str, ...]:
     pdir, _ = _ensure_doc_postings(sf_dir)
     kdir = _ensure_del_keys(pdir)
     files = sorted(str(f)
@@ -1571,7 +1582,7 @@ def _prefix_words(sf_dir: str, prefix: str) -> tuple[str, ...]:
         return ()
     parts = [t for t in ray.get(
         rd.read_parquet(files, columns=["word", "delkey"],
-                        filter=pc.starts_with(pc.field("word"), prefix))
+                        filter=word_filter)
           .materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return ()

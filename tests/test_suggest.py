@@ -100,3 +100,21 @@ def test_qparser_wildcard(ray_session):
     toks = tokenize("a scanner is slow")
     assert qparser.matches(qparser.parse_query("scann* slow"),
                            toks, set(toks))
+
+
+def test_qparser_suffix_wildcard(ray_session):
+    """Leading-star wildcards: *ow expands to slow/row/window in the fixture
+    vocab, both plans agree, and streaming matches() evaluates natively."""
+    from aspseek_ray.functions.text import tokenize
+    from aspseek_ray.pipelines import qparser
+
+    a = qparser.search_query(SF, "*ow scan")
+    d = qparser.search_query(SF, "*ow scan", driver_max_posting_rows=0)
+    assert a.equals(d) and a.num_rows > 0
+    manual = qparser.search_query(SF, "(slow OR row OR window) scan")
+    assert a.equals(manual)
+    toks = tokenize("the yellow scan")
+    assert qparser.matches(qparser.parse_query("*low scan"),
+                           toks, set(toks))
+    assert not qparser.matches(qparser.parse_query("*zz scan"),
+                               toks, set(toks))
